@@ -1,0 +1,114 @@
+"""QuantLinear: functional drop-in linear layer over lattice-coded weights.
+
+Parity target: ``/root/reference/qlinear.py`` (QuantLinear nn.Module). Here a
+layer is a pytree of arrays (`QuantLinearParams`) plus a pure `apply`
+function, so the whole model jits/shards under pjit. The eval forward
+reproduces the reference pipeline (``qlinear.py:87-115``):
+
+    x·SU → U_l^T x (wscale fused) → codebook matmul → per-channel scale
+        → U_r out → slice pad → ·SV → +bias
+
+and the training forward uses a dense decoded weight with gradients flowing
+to SU/SV only (``qlinear.py:93-97`` + ``calc_weight``).
+
+Conventions (fixed at pack/load time, mirroring the reference's
+load-time fixups at ``quantizer.py:836-844``):
+  - ``wscale_float``: static python float = mean(Wscale), fused into the
+    left transform's scale.
+  - ``Wscale``: per-channel only, ALREADY normalized by its mean; None/()
+    scalar handling is collapsed into wscale_float otherwise.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dequant_xla import decode_weights
+from ..ops.qtensor import QuantizedTensor
+from ..ops.quant_matmul import quant_matmul
+from ..transforms.incoherence import HadSpec, matmul_hadU, matmul_hadUt
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinearParams:
+    qweight: QuantizedTensor
+    Wscale: Optional[jax.Array]             # (q_out,) normalized, or None
+    SU: Optional[jax.Array]                 # (in_features,) sign vector
+    SV: Optional[jax.Array]                 # (out_features,)
+    bias: Optional[jax.Array]               # (out_features,)
+    had_left: Optional[jax.Array]           # (K_left, K_left) or None
+    had_right: Optional[jax.Array]
+    in_features: int = dataclasses.field(metadata=dict(static=True))
+    out_features: int = dataclasses.field(metadata=dict(static=True))
+    K_left: int = dataclasses.field(metadata=dict(static=True))
+    K_right: int = dataclasses.field(metadata=dict(static=True))
+    q_in: int = dataclasses.field(metadata=dict(static=True))
+    q_out: int = dataclasses.field(metadata=dict(static=True))
+    per_channel: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    wscale_float: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True))
+
+    @property
+    def left_spec(self) -> HadSpec:
+        return HadSpec(self.had_left, self.K_left, self.q_in)
+
+    @property
+    def right_spec(self) -> HadSpec:
+        return HadSpec(self.had_right, self.K_right, self.q_out)
+
+
+def calc_weight(p: QuantLinearParams, dtype=jnp.float32) -> jax.Array:
+    """Dense weight (q_in, q_out) such that eval ≡ x @ W (before SU/SV/bias);
+    parity: ``qlinear.py:144-159``."""
+    w = decode_weights(p.qweight, dtype=dtype)                 # (q_out, q_in)
+    if p.per_channel:
+        # before the right transform, matching the eval path (the reference's
+        # calc_weight scales after it, qlinear.py:155-156, which disagrees
+        # with its own eval forward at qlinear.py:106-108; we keep the two
+        # paths consistent instead)
+        w = w * p.Wscale.astype(dtype)[:, None]
+    w = matmul_hadU(w, p.left_spec, scale=p.wscale_float)      # ŵ U_l^T
+    w = matmul_hadU(w.T, p.right_spec)                         # U_l ŵ^T U_r^T
+    return w
+
+
+def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
+          compute_dtype=jnp.bfloat16, matmul_impl: str = "auto",
+          dense_weight: Optional[jax.Array] = None) -> jax.Array:
+    """Forward pass. x: (..., in_features) -> (..., out_features).
+
+    ``dense_weight`` lets callers pass a cached calc_weight() result during
+    block-wise finetune (the reference's self.W cache, quantizer.py:505-507).
+    """
+    batch_shape = x.shape[:-1]
+    x = x.reshape(-1, x.shape[-1])
+    x_dtype = x.dtype
+    if p.SU is not None:
+        x = x * p.SU.astype(x_dtype)
+
+    if training or dense_weight is not None:
+        W = dense_weight if dense_weight is not None else calc_weight(
+            p, dtype=x_dtype)
+        if x.shape[-1] != p.q_in:
+            x = jnp.pad(x, [(0, 0), (0, p.q_in - x.shape[-1])])
+        out = (x @ W.astype(x_dtype))[:, : p.out_features]
+    else:
+        x = matmul_hadUt(x, p.left_spec, scale=p.wscale_float)
+        x = x.astype(compute_dtype)
+        out = quant_matmul(x, p.qweight, impl=matmul_impl)
+        out = out.astype(x_dtype)
+        if p.per_channel:
+            out = out * p.Wscale.astype(x_dtype)
+        out = matmul_hadU(out, p.right_spec)[:, : p.out_features]
+
+    if p.SV is not None:
+        out = out * p.SV.astype(out.dtype)
+    out = out.reshape(*batch_shape, p.out_features)
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out
