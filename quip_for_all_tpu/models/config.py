@@ -1,0 +1,100 @@
+"""Model configs for the supported decoder families.
+
+The reference is architecture-generic over HF models via name-pattern tables
+(``/root/reference/constants.py``, ``utils.py:160-207``); here we provide
+native JAX implementations configured from the same HF config.json fields,
+covering the llama family (Llama/TinyLlama/Mistral/Qwen2/Yi) and Mixtral.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "llama"               # "llama" | "mixtral"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    attention_bias: bool = False      # qwen2-style qkv bias
+    tie_word_embeddings: bool = False
+    # MoE (mixtral)
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            object.__setattr__(
+                self, "head_dim",
+                self.hidden_size // self.num_attention_heads)
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "ModelConfig":
+        model_type = cfg.get("model_type", "llama")
+        arch = "mixtral" if model_type == "mixtral" else "llama"
+        return cls(
+            arch=arch,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads",
+                                        cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            attention_bias=cfg.get("attention_bias",
+                                   model_type == "qwen2"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            num_local_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+        )
+
+    @classmethod
+    def from_pretrained_dir(cls, path: str) -> "ModelConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return cls.from_hf_config(json.load(f))
+
+
+# small configs for tests/benchmarks
+def tiny_config(**kw) -> ModelConfig:
+    base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=128)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def llama2_7b_config() -> ModelConfig:
+    return ModelConfig(hidden_size=4096, intermediate_size=11008,
+                       num_hidden_layers=32, num_attention_heads=32,
+                       num_key_value_heads=32, vocab_size=32000,
+                       max_position_embeddings=4096)
+
+
+def llama2_70b_config() -> ModelConfig:
+    return ModelConfig(hidden_size=8192, intermediate_size=28672,
+                       num_hidden_layers=80, num_attention_heads=64,
+                       num_key_value_heads=8, vocab_size=32000,
+                       max_position_embeddings=4096)
+
+
+def mixtral_8x7b_config() -> ModelConfig:
+    return ModelConfig(arch="mixtral", hidden_size=4096,
+                       intermediate_size=14336, num_hidden_layers=32,
+                       num_attention_heads=32, num_key_value_heads=8,
+                       vocab_size=32000, max_position_embeddings=32768,
+                       rope_theta=1e6, num_local_experts=8,
+                       num_experts_per_tok=2)

@@ -1,0 +1,309 @@
+"""Functional llama-family decoder (Llama/TinyLlama/Mistral/Qwen2/Yi) and
+Mixtral MoE, pure JAX pytrees.
+
+The reference runs stock HF torch models with Linear layers swapped for
+QuantLinear (``quantizer.py:163-248``); here the model itself is native:
+params are nested dicts whose linear leaves are either dense
+{"weight", "bias"?} dicts or QuantLinearParams, dispatched by
+``linear_apply``. Everything jits and shards under pjit; the KV cache is a
+static preallocated pytree so the decode step compiles once (the role of
+torch.compile + StaticCache in ``example_generate.py:66-70``).
+
+Activation capture: ``block_apply(..., capture=True)`` returns the inputs of
+every linear sub-layer group — the functional equivalent of the reference's
+Hessian forward hooks (``quantizer.py:426-451``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import qlinear
+from ..nn.qlinear import QuantLinearParams
+from .config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------- primitives
+
+def linear_apply(lin: Any, x: jax.Array, **kw) -> jax.Array:
+    if isinstance(lin, QuantLinearParams):
+        return qlinear.apply(lin, x, **kw)
+    w = lin["weight"]  # (out, in) HF convention
+    y = jax.lax.dot_general(x, w.astype(x.dtype),
+                            (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+    if lin.get("bias") is not None:
+        y = y + lin["bias"].astype(y.dtype)
+    return y
+
+
+def rms_norm(weight: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf.astype(dt)) * weight.astype(dt)
+
+
+def rope_tables(cfg: ModelConfig, positions: jax.Array
+                ) -> Tuple[jax.Array, jax.Array]:
+    """HF llama rotary tables: (…, head_dim) cos/sin with half-split layout."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2,
+                                                   dtype=np.float32) / d))
+    ang = positions[..., None].astype(jnp.float32) * inv_freq[None, :]
+    emb = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    # q,k: (B, S, H, D); cos/sin: (B, S, D)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    q = q * cos.astype(q.dtype) + _rotate_half(q) * sin.astype(q.dtype)
+    k = k * cos.astype(k.dtype) + _rotate_half(k) * sin.astype(k.dtype)
+    return q, k
+
+
+# --------------------------------------------------------------- attention
+
+def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
+              cos, sin,
+              kv_cache: Optional[Tuple[jax.Array, jax.Array]],
+              cache_position: Optional[jax.Array],
+              attn_mask: jax.Array,
+              linear_kw: dict,
+              captures: Optional[dict]) -> Tuple[jax.Array, Optional[tuple]]:
+    B, S, D = x.shape
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if captures is not None:
+        captures["qkv"] = x
+    q = linear_apply(attn_p["q_proj"], x, **linear_kw)
+    k = linear_apply(attn_p["k_proj"], x, **linear_kw)
+    v = linear_apply(attn_p["v_proj"], x, **linear_kw)
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if kv_cache is not None:
+        ck, cv = kv_cache  # (B, S_max, KV, hd)
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype),
+                                                 cache_position, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype),
+                                                 cache_position, axis=1)
+        k, v = ck, cv
+        new_cache = (ck, cv)
+    else:
+        new_cache = None
+
+    # GQA: repeat kv heads
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    qt = q.transpose(0, 2, 1, 3)                       # (B, H, S, hd)
+    kt = k.transpose(0, 2, 3, 1)                       # (B, H, hd, T)
+    scores = jax.lax.dot_general(
+        qt, kt, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    scores = scores + attn_mask                        # (B, H, S, T)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    vt = v.transpose(0, 2, 1, 3)                       # (B, H, T, hd)
+    ctx = jax.lax.dot_general(
+        probs, vt, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    if captures is not None:
+        captures["o"] = ctx
+    out = linear_apply(attn_p["o_proj"], ctx, **linear_kw)
+    return out, new_cache
+
+
+# --------------------------------------------------------------- mlp / moe
+
+def mlp_apply(mlp_p: Params, x: jax.Array, linear_kw: dict,
+              captures: Optional[dict]) -> jax.Array:
+    if captures is not None:
+        captures["gateup"] = x
+    g = linear_apply(mlp_p["gate_proj"], x, **linear_kw)
+    u = linear_apply(mlp_p["up_proj"], x, **linear_kw)
+    h = jax.nn.silu(g) * u
+    if captures is not None:
+        captures["down"] = h
+    return linear_apply(mlp_p["down_proj"], h, **linear_kw)
+
+
+def moe_apply(cfg: ModelConfig, moe_p: Params, x: jax.Array, linear_kw: dict,
+              captures: Optional[dict]) -> jax.Array:
+    """Mixtral sparse MoE. Dense formulation: every expert runs on every
+    token, masked by top-k router weights — MXU-friendly and exact; a
+    gather-based dispatch is a planned decode optimization."""
+    B, S, D = x.shape
+    router_logits = linear_apply(moe_p["gate"], x, **linear_kw)  # (B,S,E)
+    E, K = cfg.num_local_experts, cfg.num_experts_per_tok
+    topv, topi = jax.lax.top_k(router_logits.astype(jnp.float32), K)
+    topw = jax.nn.softmax(topv, axis=-1)                         # (B,S,K)
+    routing = jnp.sum(
+        jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None],
+        axis=2)                                                   # (B,S,E)
+    if captures is not None:
+        captures["moe_routing"] = routing
+        captures["moe_input"] = x
+    out = jnp.zeros_like(x)
+    for e in range(E):
+        ep = moe_p["experts"][e]
+        w = routing[..., e][..., None].astype(x.dtype)
+        h = jax.nn.silu(linear_apply(ep["w1"], x, **linear_kw)) * \
+            linear_apply(ep["w3"], x, **linear_kw)
+        if captures is not None:
+            captures[f"expert{e}_down"] = h * (routing[..., e][..., None] > 0)
+        out = out + w * linear_apply(ep["w2"], h, **linear_kw)
+    return out
+
+
+# --------------------------------------------------------------- blocks
+
+def block_apply(cfg: ModelConfig, blk: Params, x: jax.Array,
+                cos, sin,
+                kv_cache=None, cache_position=None, attn_mask=None,
+                linear_kw: Optional[dict] = None,
+                capture: bool = False):
+    linear_kw = linear_kw or {}
+    captures: Optional[dict] = {} if capture else None
+    h = rms_norm(blk["input_layernorm"]["weight"], x, cfg.rms_norm_eps)
+    attn_out, new_cache = attention(cfg, blk["self_attn"], h, cos, sin,
+                                    kv_cache, cache_position, attn_mask,
+                                    linear_kw, captures)
+    x = x + attn_out
+    h = rms_norm(blk["post_attention_layernorm"]["weight"], x,
+                 cfg.rms_norm_eps)
+    if cfg.arch == "mixtral":
+        y = moe_apply(cfg, blk["block_sparse_moe"], h, linear_kw, captures)
+    else:
+        y = mlp_apply(blk["mlp"], h, linear_kw, captures)
+    x = x + y
+    return x, new_cache, captures
+
+
+def model_apply(cfg: ModelConfig, params: Params, input_ids: jax.Array,
+                positions: Optional[jax.Array] = None,
+                kv_caches: Optional[list] = None,
+                cache_position=None,
+                attn_mask: Optional[jax.Array] = None,
+                linear_kw: Optional[dict] = None,
+                dtype=jnp.float32):
+    """Full forward. input_ids (B, S) -> logits (B, S, V).
+
+    With kv_caches (list over layers of (k, v) with shape (B, S_max, KV, hd)),
+    runs incremental decoding writing at cache_position.
+    """
+    B, S = input_ids.shape
+    x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0
+                 ).astype(dtype)
+    if positions is None:
+        positions = jnp.arange(S)[None, :].repeat(B, 0)
+    cos, sin = rope_tables(cfg, positions)
+    if attn_mask is None:
+        if kv_caches is None:
+            attn_mask = causal_mask(S, S)
+        else:
+            T = kv_caches[0][0].shape[1]
+            attn_mask = cache_mask(positions, T)
+    new_caches = [] if kv_caches is not None else None
+    for i in range(cfg.num_hidden_layers):
+        cache_i = kv_caches[i] if kv_caches is not None else None
+        x, nc, _ = block_apply(cfg, params["layers"][i], x, cos, sin,
+                               cache_i, cache_position, attn_mask, linear_kw)
+        if new_caches is not None:
+            new_caches.append(nc)
+    x = rms_norm(params["norm"]["weight"], x, cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        logits = x @ params["embed_tokens"]["weight"].astype(x.dtype).T
+    else:
+        logits = linear_apply(head, x, **(linear_kw or {}))
+    return logits, new_caches
+
+
+def causal_mask(S: int, T: int, dtype=jnp.float32) -> jax.Array:
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(T)[None, :]
+    m = jnp.where(j <= i + (T - S), 0.0, -1e9).astype(dtype)
+    return m[None, None, :, :]
+
+
+def cache_mask(positions: jax.Array, T: int, dtype=jnp.float32) -> jax.Array:
+    """Mask for cached decode: token at position p attends to cache slots
+    j <= p. positions: (B, S)."""
+    j = jnp.arange(T)[None, None, :]
+    m = jnp.where(j <= positions[:, :, None], 0.0, -1e9).astype(dtype)
+    return m[:, None, :, :].transpose(0, 1, 2, 3)
+
+
+# --------------------------------------------------------------- init
+
+def init_llama_params(cfg: ModelConfig, seed: int = 0,
+                      dtype=jnp.float32) -> Params:
+    """Random-init params (HF layout) — benchmarks and tests run without
+    downloadable checkpoints (zero-egress environment)."""
+    rng = np.random.default_rng(seed)
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+
+    def lin(out_f, in_f, bias=False):
+        w = (rng.standard_normal((out_f, in_f)) / np.sqrt(in_f)
+             ).astype(np.float32)
+        d = {"weight": jnp.asarray(w, dtype=dtype)}
+        d["bias"] = (jnp.zeros((out_f,), dtype=dtype) if bias else None)
+        return d
+
+    def block():
+        blk = {
+            "input_layernorm": {"weight": jnp.ones((D,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((D,), dtype)},
+            "self_attn": {
+                "q_proj": lin(H * hd, D, cfg.attention_bias),
+                "k_proj": lin(KV * hd, D, cfg.attention_bias),
+                "v_proj": lin(KV * hd, D, cfg.attention_bias),
+                "o_proj": lin(D, H * hd),
+            },
+        }
+        if cfg.arch == "mixtral":
+            blk["block_sparse_moe"] = {
+                "gate": lin(cfg.num_local_experts, D),
+                "experts": [
+                    {"w1": lin(I, D), "w3": lin(I, D), "w2": lin(D, I)}
+                    for _ in range(cfg.num_local_experts)
+                ],
+            }
+        else:
+            blk["mlp"] = {
+                "gate_proj": lin(I, D),
+                "up_proj": lin(I, D),
+                "down_proj": lin(D, I),
+            }
+        return blk
+
+    params = {
+        "embed_tokens": {"weight": jnp.asarray(
+            (rng.standard_normal((cfg.vocab_size, D)) * 0.02
+             ).astype(np.float32), dtype=dtype)},
+        "layers": [block() for _ in range(cfg.num_hidden_layers)],
+        "norm": {"weight": jnp.ones((D,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = lin(cfg.vocab_size, D)
+    return params

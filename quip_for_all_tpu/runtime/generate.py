@@ -1,0 +1,129 @@
+"""Static-cache autoregressive generation, jit-once decode.
+
+Parity target: ``/root/reference/example_generate.py`` (HF StaticCache +
+torch.compile fullgraph decode loop + sync-free sampling). TPU-native: the
+whole token loop is a ``jax.lax.scan`` inside a single jit, the KV cache is
+a preallocated pytree carried through the scan (no per-token dispatch at
+all), and sampling uses jax.random with Gumbel-max top-k (no host syncs).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as M
+from ..models.config import ModelConfig
+
+
+def init_kv_caches(cfg: ModelConfig, batch: int, max_len: int,
+                   dtype=jnp.bfloat16) -> List[Tuple[jax.Array, jax.Array]]:
+    KV, hd = cfg.num_key_value_heads, cfg.head_dim
+    return [
+        (jnp.zeros((batch, max_len, KV, hd), dtype),
+         jnp.zeros((batch, max_len, KV, hd), dtype))
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def sample_token(logits: jax.Array, key, temperature: float, top_k: int
+                 ) -> jax.Array:
+    """logits (B, V) -> (B,) int32. Greedy when temperature == 0 (parity:
+    example_generate.py:9-26, without the .item() sync)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    # Gumbel-max == multinomial without normalizing (sync-free)
+    g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k",
+                     "cache_len", "dtype_str"))
+def generate(cfg: ModelConfig, params: Dict[str, Any],
+             prompt_ids: jax.Array, max_new_tokens: int,
+             key: Optional[jax.Array] = None,
+             temperature: float = 0.0, top_k: int = 0,
+             cache_len: int = 2048, dtype_str: str = "bfloat16"
+             ) -> jax.Array:
+    """prompt_ids (B, S) -> (B, S + max_new_tokens) generated ids."""
+    dtype = np.dtype(dtype_str)
+    B, S = prompt_ids.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    caches = init_kv_caches(cfg, B, cache_len, dtype)
+
+    # ---- prefill
+    positions = jnp.arange(S)[None, :].repeat(B, 0)
+    logits, caches = M.model_apply(
+        cfg, params, prompt_ids, positions=positions, kv_caches=caches,
+        cache_position=0, dtype=dtype)
+    key, sub = jax.random.split(key)
+    next_tok = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
+                            temperature, top_k)
+
+    # ---- decode loop (one compiled scan; static cache; no host syncs)
+    def step(carry, _):
+        caches, tok, pos, key = carry
+        key, sub = jax.random.split(key)
+        positions = pos[:, None]
+        logits, caches = M.model_apply(
+            cfg, params, tok[:, None], positions=positions,
+            kv_caches=caches, cache_position=pos[0], dtype=dtype)
+        nxt = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
+                           temperature, top_k)
+        return (caches, nxt, pos + 1, key), nxt
+
+    pos0 = jnp.full((B,), S, dtype=jnp.int32)
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (caches, next_tok, pos0, key), None,
+        length=max_new_tokens - 1)
+    out = jnp.concatenate(
+        [prompt_ids, next_tok[:, None], toks.T.astype(jnp.int32)], axis=1)
+    return out
+
+
+def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,
+                   dtype=jnp.bfloat16):
+    """A jittable single-token decode step (for benchmarking the hot path in
+    isolation): (params, caches, tok (B,), pos scalar) -> (logits, caches)."""
+    def step(params, caches, tok, pos):
+        B = tok.shape[0]
+        positions = jnp.broadcast_to(pos, (B,))[:, None]
+        logits, caches = M.model_apply(
+            cfg, params, tok[:, None], positions=positions,
+            kv_caches=caches, cache_position=pos, dtype=dtype)
+        return logits[:, -1, :], caches
+    return step
+
+
+def perplexity(cfg: ModelConfig, params: Dict[str, Any],
+               token_windows: np.ndarray, batch_size: int = 1,
+               dtype=jnp.float32) -> float:
+    """Sliding-window perplexity over (N, S) token windows — the eval the
+    reference defers to the quip-sharp blog (README.md:18); first-class here
+    because quality parity is a north-star metric (BASELINE.md)."""
+    @jax.jit
+    def nll(batch):
+        logits, _ = M.model_apply(cfg, params, batch, dtype=dtype)
+        logp = jax.nn.log_softmax(logits[:, :-1, :].astype(jnp.float32),
+                                  axis=-1)
+        tgt = batch[:, 1:]
+        ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return -ll.mean()
+
+    losses = []
+    for i in range(0, token_windows.shape[0], batch_size):
+        b = jnp.asarray(token_windows[i:i + batch_size])
+        if b.shape[0] < batch_size:
+            break
+        losses.append(float(nll(b)))
+    return float(np.exp(np.mean(losses)))

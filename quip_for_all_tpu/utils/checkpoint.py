@@ -1,0 +1,257 @@
+"""Quantized checkpoint save/load, reference-compatible schema.
+
+Parity target: the reference's checkpoint layout (SURVEY.md §5):
+safetensors with HF state-dict names; QuantLinear buffers Qidxs (packed,
+codebook idx_dtype), SU, SV, Wscale (unnormalized), bias, had_left/had_right
+(persisted only for use_rand), and the fake scalar ``weight`` HF uses for
+device mapping; plus config.json with an embedded quantization_config and a
+standalone quantization_config.json (``quantizer.py:718-756``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file
+
+from ..codebooks import get_codebook
+from ..models.config import ModelConfig
+from ..nn.qlinear import QuantLinearParams
+from ..ops.qtensor import from_checkpoint_idxs, to_checkpoint_idxs
+from ..transforms.incoherence import get_hadK
+
+QUIP_CONFIG = "quantization_config.json"
+
+
+def _flatten(params: Dict[str, Any], qcfg: dict, prefix: str = "model."
+             ) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def emit_linear(name: str, lin):
+        if isinstance(lin, QuantLinearParams):
+            out[name + ".Qidxs"] = to_checkpoint_idxs(lin.qweight)
+            su = (np.asarray(lin.SU, dtype=np.float32) if lin.SU is not None
+                  else np.ones((lin.in_features,), np.float32))
+            sv = (np.asarray(lin.SV, dtype=np.float32) if lin.SV is not None
+                  else np.ones((lin.out_features,), np.float32))
+            out[name + ".SU"] = su
+            out[name + ".SV"] = sv
+            if lin.per_channel:
+                out[name + ".Wscale"] = (
+                    np.asarray(lin.Wscale, np.float32) * lin.wscale_float)
+            else:
+                out[name + ".Wscale"] = np.asarray(lin.wscale_float,
+                                                   np.float32)
+            out[name + ".weight"] = np.zeros((), np.float32)  # HF shim
+            if lin.bias is not None:
+                out[name + ".bias"] = np.asarray(lin.bias, np.float32)
+            if qcfg.get("use_rand", True):
+                if lin.had_left is not None:
+                    out[name + ".had_left"] = np.asarray(lin.had_left,
+                                                         np.float32)
+                if lin.had_right is not None:
+                    out[name + ".had_right"] = np.asarray(lin.had_right,
+                                                          np.float32)
+        else:
+            out[name + ".weight"] = np.asarray(lin["weight"], np.float32)
+            if lin.get("bias") is not None:
+                out[name + ".bias"] = np.asarray(lin["bias"], np.float32)
+
+    def walk(node, name):
+        if isinstance(node, QuantLinearParams) or (
+                isinstance(node, dict) and "weight" in node):
+            emit_linear(name, node)
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{name}.{k}" if name else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{name}.{i}")
+        elif node is None:
+            return
+        else:
+            out[name] = np.asarray(node, np.float32)
+
+    for key, node in params.items():
+        name = ("" if key == "lm_head" else prefix) + key
+        walk(node, name)
+    return out
+
+
+def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
+                   quant_config: dict, save_dir: str) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    flat = _flatten(params, quant_config)
+    save_file(flat, os.path.join(save_dir, "model.safetensors"))
+    hf_cfg = {
+        "model_type": "mixtral" if cfg.arch == "mixtral" else "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.head_dim,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "attention_bias": cfg.attention_bias,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "num_local_experts": cfg.num_local_experts,
+        "num_experts_per_tok": cfg.num_experts_per_tok,
+        "quantization_config": quant_config,
+    }
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+        json.dump(quant_config, f, indent=2)
+
+
+def load_quant_config(save_dir: str) -> dict:
+    cfg_path = os.path.join(save_dir, "config.json")
+    with open(cfg_path) as f:
+        hf_cfg = json.load(f)
+    if "quantization_config" in hf_cfg:
+        return hf_cfg["quantization_config"]
+    with open(os.path.join(save_dir, QUIP_CONFIG)) as f:
+        return json.load(f)
+
+
+def _build_qlinear(tensors: Dict[str, np.ndarray], name: str,
+                   qcfg: dict) -> QuantLinearParams:
+    cb = get_codebook(qcfg["codebook"],
+                      qcfg.get("opt_resid_scale", -1)
+                      if qcfg.get("opt_resid_scale", -1) > 0 else None)
+    packed = tensors[name + ".Qidxs"]
+    SU = tensors.get(name + ".SU")
+    SV = tensors.get(name + ".SV")
+    Wscale = tensors[name + ".Wscale"]
+    bias = tensors.get(name + ".bias")
+    had_left = tensors.get(name + ".had_left")
+    had_right = tensors.get(name + ".had_right")
+
+    q_out = packed.shape[0]
+    packsz = cb.packsz
+    q_in = int(packed.shape[1] * cb.codesz * packsz)
+    in_f = SU.shape[0] if SU is not None else q_in
+    out_f = SV.shape[0] if SV is not None else q_out
+    qt = from_checkpoint_idxs(cb, packed, q_out, q_in)
+
+    use_rand = qcfg.get("use_rand", True)
+    if had_left is not None:
+        K_left = had_left.shape[0]
+    else:
+        spec = get_hadK(in_f, use_rand=False) if not use_rand else None
+        if spec is not None and spec.K > 1:
+            K_left, had_left = spec.K, spec.hadK
+        else:
+            K_left = 1
+    if had_right is not None:
+        K_right = had_right.shape[0]
+    else:
+        spec = get_hadK(out_f, use_rand=False) if not use_rand else None
+        if spec is not None and spec.K > 1:
+            K_right, had_right = spec.K, spec.hadK
+        else:
+            K_right = 1
+
+    per_channel = bool(qcfg.get("per_channel", False)) and Wscale.ndim == 1
+    wscale_float = float(np.mean(Wscale))
+    Wn = (jnp.asarray((Wscale / np.mean(Wscale)).astype(np.float32))
+          if per_channel else None)
+
+    def keep_signs(v):
+        if v is None:
+            return None
+        if np.all(v == 1.0):
+            return None  # load-time drop (quantizer.py:840-844)
+        return jnp.asarray(v.astype(np.float32))
+
+    return QuantLinearParams(
+        qweight=qt, Wscale=Wn,
+        SU=keep_signs(SU), SV=keep_signs(SV),
+        bias=None if bias is None else jnp.asarray(bias.astype(np.float32)),
+        had_left=None if had_left is None else jnp.asarray(
+            np.asarray(had_left, np.float32)),
+        had_right=None if had_right is None else jnp.asarray(
+            np.asarray(had_right, np.float32)),
+        in_features=in_f, out_features=out_f,
+        K_left=K_left, K_right=K_right, q_in=q_in, q_out=q_out,
+        per_channel=per_channel, wscale_float=wscale_float)
+
+
+def load_quantized(save_dir: str, dtype=jnp.float32
+                   ) -> Tuple[ModelConfig, Dict[str, Any], dict]:
+    """Load a quantized checkpoint -> (model config, params pytree, qconfig).
+
+    Parity: reference load_quantized_model (``quantizer.py:779-848``) minus
+    the CUDA requirement.
+    """
+    cfg = ModelConfig.from_pretrained_dir(save_dir)
+    qcfg = load_quant_config(save_dir)
+
+    tensors: Dict[str, np.ndarray] = {}
+    st_path = os.path.join(save_dir, "model.safetensors")
+    with safe_open(st_path, framework="numpy") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+
+    qlinear_names = sorted({k[: -len(".Qidxs")] for k in tensors
+                            if k.endswith(".Qidxs")})
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jnp.asarray(
+            tensors["model.embed_tokens.weight"], dtype=dtype)},
+        "norm": {"weight": jnp.asarray(tensors["model.norm.weight"],
+                                       dtype=dtype)},
+        "layers": [],
+    }
+    if "lm_head.weight" in tensors:
+        params["lm_head"] = {"weight": jnp.asarray(tensors["lm_head.weight"],
+                                                   dtype=dtype),
+                             "bias": None}
+
+    def linear_or_dense(name):
+        if name in qlinear_names:
+            return _build_qlinear(tensors, name, qcfg)
+        d = {"weight": jnp.asarray(tensors[name + ".weight"], dtype=dtype)}
+        d["bias"] = (jnp.asarray(tensors[name + ".bias"], dtype=dtype)
+                     if name + ".bias" in tensors else None)
+        return d
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        blk: Dict[str, Any] = {
+            "input_layernorm": {"weight": jnp.asarray(
+                tensors[f"{p}.input_layernorm.weight"], dtype=dtype)},
+            "post_attention_layernorm": {"weight": jnp.asarray(
+                tensors[f"{p}.post_attention_layernorm.weight"],
+                dtype=dtype)},
+            "self_attn": {
+                x: linear_or_dense(f"{p}.self_attn.{x}")
+                for x in ("q_proj", "k_proj", "v_proj", "o_proj")
+            },
+        }
+        if cfg.arch == "mixtral":
+            blk["block_sparse_moe"] = {
+                "gate": linear_or_dense(f"{p}.block_sparse_moe.gate"),
+                "experts": [
+                    {w: linear_or_dense(
+                        f"{p}.block_sparse_moe.experts.{e}.{w}")
+                     for w in ("w1", "w2", "w3")}
+                    for e in range(cfg.num_local_experts)
+                ],
+            }
+        else:
+            blk["mlp"] = {
+                x: linear_or_dense(f"{p}.mlp.{x}")
+                for x in ("gate_proj", "up_proj", "down_proj")
+            }
+        params["layers"].append(blk)
+    return cfg, params, qcfg
