@@ -1,0 +1,112 @@
+"""Headline benchmark: bs=1 decode throughput, Llama-2-7B E8P12 2-bit.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N/138}
+
+Baseline: the reference's ~138 tokens/s (Llama-2-7B 2-bit, bs=1, RTX 4090,
+static cache + torch.compile; /root/reference/README.md:73, BASELINE.md).
+
+Runs on whatever backend is active (the real TPU chip under the driver;
+pass --cpu --small for a smoke run). Weights are random codes — identical
+compute/memory behavior to a real checkpoint (zero-egress environment).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_TOKENS_PER_SEC = 138.0  # reference README.md:73
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codebook", default="E8P12")
+    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--cache-len", type=int, default=2048)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny model smoke-run")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "dequant", "pallas"])
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from quip_for_all_tpu.models import llama as M
+    from quip_for_all_tpu.models.config import (ModelConfig,
+                                                llama2_7b_config)
+    from quip_for_all_tpu.runtime.generate import init_kv_caches
+    from quip_for_all_tpu.utils.random_quantized import \
+        random_quantized_model
+
+    if args.small:
+        cfg = ModelConfig(vocab_size=512, hidden_size=256,
+                          intermediate_size=512, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=4,
+                          max_position_embeddings=args.cache_len)
+        name = "tiny"
+    else:
+        cfg = llama2_7b_config()
+        name = "llama2_7b"
+
+    t0 = time.time()
+    params = random_quantized_model(cfg, codebook=args.codebook, seed=0,
+                                    dtype=jnp.bfloat16)
+    print(f"# built random {name} {args.codebook} params in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+    caches = init_kv_caches(cfg, 1, args.cache_len, dtype=jnp.bfloat16)
+    linear_kw = {"matmul_impl": args.impl}
+
+    def decode_many(params, caches, tok, pos, n):
+        def step(carry, _):
+            caches, tok, pos = carry
+            logits, caches = M.model_apply(
+                cfg, params, tok[:, None], positions=pos[:, None],
+                kv_caches=caches, cache_position=pos[0],
+                linear_kw=linear_kw, dtype=jnp.bfloat16)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (caches, nxt, pos + 1), nxt
+        (caches, tok, pos), toks = jax.lax.scan(
+            step, (caches, tok, pos), None, length=n)
+        return caches, toks
+
+    import functools
+    fn = jax.jit(functools.partial(decode_many, n=args.tokens),
+                 donate_argnums=(1,))
+
+    tok = jnp.asarray([7], dtype=jnp.int32)
+    pos = jnp.asarray([16], dtype=jnp.int32)
+
+    t0 = time.time()
+    caches, toks = fn(params, caches, tok, pos)
+    jax.block_until_ready(toks)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    pos = pos + args.tokens
+    t0 = time.time()
+    caches, toks = fn(params, caches, tok, pos)
+    jax.block_until_ready(toks)
+    dt = time.time() - t0
+    tps = args.tokens / dt
+    print(f"# {args.tokens} tokens in {dt:.3f}s", file=sys.stderr)
+
+    metric = f"decode_tokens_per_sec_{name}_{args.codebook.lower()}_bs1"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""GSPMD sharding layer: device mesh + PartitionSpecs for model pytrees.
+
+The reference has no distributed backend at all (SURVEY.md §2.4): its only
+multi-device mode is accelerate's sequential layer placement, and it
+documents tensor parallelism as impossible ("Hadamard transform cannot be
+done for sharded input", reference README.md:84). Here parallelism is a
+first-class layer: a ("dp", "tp") mesh, megatron-style column/row-parallel
+PartitionSpecs over both dense and lattice-coded (QuantizedTensor) weights,
+and XLA-inserted collectives. The Hadamard conflict is solved two ways:
+  1. GSPMD correctness for any checkpoint (XLA gathers where it must);
+  2. quantization-time block-diagonal transforms (tp_shards > 1) that make
+     each shard's incoherence factor local, so no gather is needed —
+     see quantize/quantizer.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..nn.qlinear import QuantLinearParams
+
+# layer-role tables (the reference's constants.py pattern DB, reduced to our
+# native model families)
+_COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                 "w1", "w3", "lm_head")
+_ROW_PARALLEL = ("o_proj", "down_proj", "w2")
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if tp is None:
+        tp = n if dp is None else n // dp
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.array(devs[:n]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _divides(n: int, k: int) -> bool:
+    return k > 0 and n % k == 0
+
+
+def qlinear_spec(p: QuantLinearParams, role: str, tp: int
+                 ) -> QuantLinearParams:
+    """PartitionSpec pytree matching a QuantLinearParams instance."""
+    col = role == "col"
+    shard_out = col and _divides(p.q_out, tp)
+    shard_in = (not col) and _divides(p.q_in, tp)
+
+    def plane_spec(name, arr):
+        rows_are_out = True  # all runtime planes are (q_out, q_in/k)
+        if shard_out:
+            return P("tp", None)
+        if shard_in:
+            return P(None, "tp")
+        return P(None, None)
+
+    planes = {k: plane_spec(k, v) for k, v in p.qweight.planes.items()}
+    qt_spec = type(p.qweight)(planes, p.qweight.codebook_id,
+                              p.qweight.q_out, p.qweight.q_in,
+                              p.qweight.opt_resid_scale)
+    return QuantLinearParams(
+        qweight=qt_spec,
+        Wscale=None if p.Wscale is None else (P("tp") if shard_out else P()),
+        SU=None if p.SU is None else (P("tp") if shard_in else P()),
+        SV=None if p.SV is None else (P("tp") if shard_out else P()),
+        bias=None if p.bias is None else (P("tp") if shard_out else P()),
+        had_left=None if p.had_left is None else P(None, None),
+        had_right=None if p.had_right is None else P(None, None),
+        in_features=p.in_features, out_features=p.out_features,
+        K_left=p.K_left, K_right=p.K_right, q_in=p.q_in, q_out=p.q_out,
+        per_channel=p.per_channel, wscale_float=p.wscale_float)
+
+
+def dense_spec(lin: Dict[str, Any], role: str, tp: int,
+               out_f: int, in_f: int) -> Dict[str, Any]:
+    if role == "col" and _divides(out_f, tp):
+        w = P("tp", None)
+        b = P("tp")
+    elif role == "row" and _divides(in_f, tp):
+        w = P(None, "tp")
+        b = P()
+    else:
+        w, b = P(None, None), P()
+    out = {k: None for k in lin}
+    out["weight"] = w
+    if lin.get("bias") is not None:
+        out["bias"] = b
+    return out
+
+
+def param_specs(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh
+                ) -> Dict[str, Any]:
+    """PartitionSpec pytree mirroring the params pytree."""
+    tp = mesh.shape["tp"]
+
+    def role_of(name: str) -> str:
+        if any(name.endswith(s) for s in _COL_PARALLEL):
+            return "col"
+        if any(name.endswith(s) for s in _ROW_PARALLEL):
+            return "row"
+        return "rep"
+
+    def walk(node, name):
+        if isinstance(node, QuantLinearParams):
+            return qlinear_spec(node, role_of(name), tp)
+        if isinstance(node, dict):
+            if "weight" in node and not isinstance(node["weight"], dict):
+                w = node["weight"]
+                if w.ndim == 2:
+                    return dense_spec(node, role_of(name), tp,
+                                      w.shape[0], w.shape[1])
+                return {k: (P() if v is not None else None)
+                        for k, v in node.items()}
+            return {k: walk(v, f"{name}.{k}" if name else k)
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, f"{name}.{i}")
+                              for i, v in enumerate(node))
+        if node is None:
+            return None
+        return P()
+
+    return walk(params, "")
+
+
+def shard_params(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh
+                 ) -> Dict[str, Any]:
+    """Device-put params with their computed shardings."""
+    specs = param_specs(cfg, params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: None if x is None else jax.device_put(
+            x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: x is None)
+
+
+def kv_cache_specs(mesh: Mesh, n_kv_heads: int):
+    tp = mesh.shape["tp"]
+    kv = P("dp", None, "tp", None) if _divides(n_kv_heads, tp) else \
+        P("dp", None, None, None)
+    return kv
+
+
+def batch_spec() -> P:
+    return P("dp", None)
