@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TOKENS_PER_SEC = 138.0  # reference README.md:73
@@ -86,16 +88,21 @@ def main():
     tok = jnp.asarray([7], dtype=jnp.int32)
     pos = jnp.asarray([16], dtype=jnp.int32)
 
+    # NOTE: block_until_ready is unreliable over the experimental remote
+    # backend; np.asarray forces a real device->host fetch of the produced
+    # tokens, which cannot complete before the computation does.
     t0 = time.time()
     caches, toks = fn(params, caches, tok, pos)
-    jax.block_until_ready(toks)
+    _ = np.asarray(toks)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    pos = pos + args.tokens
+    reps = 3
     t0 = time.time()
-    caches, toks = fn(params, caches, tok, pos)
-    jax.block_until_ready(toks)
-    dt = time.time() - t0
+    for _ in range(reps):
+        pos = pos + args.tokens
+        caches, toks = fn(params, caches, tok, pos)
+        _ = np.asarray(toks)
+    dt = (time.time() - t0) / reps
     tps = args.tokens / dt
     print(f"# {args.tokens} tokens in {dt:.3f}s", file=sys.stderr)
 

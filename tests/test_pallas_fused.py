@@ -1,0 +1,49 @@
+"""Fused Pallas dequant-matmul correctness vs the XLA decode path
+(interpret mode on CPU; real-hardware timing lives in
+tools/microbench_decode.py)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+os.environ["QFA_PALLAS_INTERPRET"] = "1"
+
+from quip_for_all_tpu.codebooks import get_codebook
+from quip_for_all_tpu.ops import dequant_pallas
+from quip_for_all_tpu.ops.dequant_xla import decode_weights
+from quip_for_all_tpu.ops.qtensor import from_raw_idxs
+
+
+def _n_codes(cb):
+    return {"D4": 256, "E8P12": 1 << 16, "HI": 16,
+            "E8P12RVQ3B": 1 << 24, "E8P12RVQ4B": 1 << 32}[cb.id]
+
+
+@pytest.mark.parametrize("name", ["E8P12", "D4", "HI", "E8P12RVQ3B",
+                                  "E8P12RVQ4B"])
+@pytest.mark.parametrize("strategy", ["A", "B"])
+@pytest.mark.parametrize("shape", [(256, 512), (128, 1376 * 8 // 8)])
+def test_fused_matches_xla(name, strategy, shape, rng, monkeypatch):
+    monkeypatch.setenv("QFA_DECODE_STRATEGY", strategy)
+    cb = get_codebook(name)
+    q_out, q_in = shape
+    q_in = (q_in // cb.codesz) * cb.codesz
+    if name == "HI":
+        q_in = (q_in // 8) * 8
+    vals = rng.integers(0, min(_n_codes(cb), 1 << 62),
+                        size=(q_out, q_in // cb.codesz), dtype=np.uint64)
+    raw = vals.astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in)
+
+    m = 3
+    x = rng.standard_normal((m, q_in)).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = x @ W.T
+
+    out = np.asarray(dequant_pallas.fused_quant_matmul(
+        jnp.asarray(x), qt))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (name, strategy, shape, rel)
