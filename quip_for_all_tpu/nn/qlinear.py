@@ -52,6 +52,9 @@ class QuantLinearParams:
         default=False, metadata=dict(static=True))
     wscale_float: float = dataclasses.field(
         default=1.0, metadata=dict(static=True))
+    # cached dense weight for the training path (the reference's self.W,
+    # quantizer.py:505-507); constant w.r.t. SU/SV so safe to cache
+    W_cache: Optional[jax.Array] = None
 
     @property
     def left_spec(self) -> HadSpec:
@@ -92,6 +95,8 @@ def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
         x = x * p.SU.astype(x_dtype)
 
     if training or dense_weight is not None:
+        if dense_weight is None:
+            dense_weight = p.W_cache
         W = dense_weight if dense_weight is not None else calc_weight(
             p, dtype=x_dtype)
         if x.shape[-1] != p.q_in:

@@ -102,11 +102,28 @@ def finetune_block(cfg, blk: Any, batches_in: List[np.ndarray],
                    update_freq: int = 1) -> Any:
     """Block-wise MSE finetune (parity: quantizer.py:501-560). batches_out
     are the float block's outputs (targets). Returns the tuned block."""
+    import dataclasses as dc
+
     from ..models import llama as M
+    from ..nn.qlinear import calc_weight
+
+    def set_cache(node, on):
+        if isinstance(node, QuantLinearParams):
+            cache = calc_weight(node, dtype=jnp.float32) if on else None
+            return dc.replace(node, W_cache=cache)
+        if isinstance(node, dict):
+            return {k: set_cache(v, on) for k, v in node.items()}
+        if isinstance(node, list):
+            return [set_cache(v, on) for v in node]
+        return node
+
+    # cache dense weights once (the reference's calc_weight cache,
+    # quantizer.py:505-507) — constant w.r.t. the trained SU/SV
+    blk = set_cache(blk, True)
 
     flat = collect_trainable(blk)
     if not flat:
-        return blk
+        return set_cache(blk, False)
     opt = make_susv_optimizer(ft_susv_lr, ft_lr)
     opt_state = opt.init(flat)
 
@@ -152,7 +169,7 @@ def finetune_block(cfg, blk: Any, batches_in: List[np.ndarray],
             worse += 1
             if worse >= early_stop:
                 break
-    return apply_trainable(blk, best_flat)
+    return set_cache(apply_trainable(blk, best_flat), False)
 
 
 def make_train_step(cfg, optimizer: optax.GradientTransformation,

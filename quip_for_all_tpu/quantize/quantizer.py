@@ -165,27 +165,46 @@ class QuipQuantizer:
                 return True
         return False
 
+    def _merge_signs(self, cfg: ModelConfig,
+                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Shared sign vectors for merge_suv (parity: utils.py:160-196 for
+        llama/mistral/qwen2/yi; SV of a producer becomes SU of consumers)."""
+        def s(n):
+            return np.sign(rng.standard_normal(n) + 1e-5).astype(np.float32)
+        D, I = cfg.hidden_size, cfg.intermediate_size
+        signs = {"qkv_in": s(D), "mlp_in": s(D), "down_in": s(I)}
+        if cfg.num_key_value_heads == cfg.num_attention_heads:
+            signs["o_in"] = s(cfg.num_attention_heads * cfg.head_dim)
+        return signs
+
     def quantize_model(self, cfg: ModelConfig, params: Dict[str, Any],
                       calib_tokens: np.ndarray,
                       dtype=jnp.float32) -> Dict[str, Any]:
         """Quantize in place and return params.
 
-        calib_tokens: (nsamples_total, seqlen) int32 token ids.
+        calib_tokens: (nsamples_total, seqlen) int32 token ids. When
+        ft_epochs > 0 the trailing ft_train_size + ft_valid_size samples are
+        reserved for finetuning (parity: quantizer.py:117-120).
         """
+        if self.ft_epochs > 0 and self.merge_suv:
+            raise ValueError("finetune mode is incompatible with merge_suv")
+        if self.merge_suv and cfg.arch != "llama":
+            raise ValueError("merge_suv currently supports the llama family")
         rng = np.random.default_rng(self.seed)
         n_batches = calib_tokens.shape[0] // self.batch_size
-        n_hess_batches = min(n_batches,
-                             max(1, self.nsamples // self.batch_size))
-        ft_batches = n_batches - n_hess_batches if self.ft_epochs > 0 else 0
+        n_hess = min(n_batches, max(1, self.nsamples // self.batch_size))
+        n_ft = n_batches - n_hess if self.ft_epochs > 0 else 0
         batches = [
             jnp.asarray(calib_tokens[i * self.batch_size:
                                      (i + 1) * self.batch_size])
-            for i in range(n_hess_batches + ft_batches)
+            for i in range(n_hess + n_ft)
         ]
         B, S = self.batch_size, calib_tokens.shape[1]
         positions = jnp.arange(S)[None, :].repeat(B, 0)
         cos, sin = M.rope_tables(cfg, positions)
         mask = M.causal_mask(S, S)
+        n_valid = max(1, self.ft_valid_size // self.batch_size) \
+            if n_ft > 0 else 0
 
         embed = jax.jit(lambda ids: jnp.take(
             params["embed_tokens"]["weight"], ids, axis=0).astype(dtype))
@@ -196,26 +215,26 @@ class QuipQuantizer:
 
         block_fwd = jax.jit(
             lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
-                                         attn_mask=mask, capture=True),
-            static_argnames=())
+                                         attn_mask=mask, capture=True))
 
         for i in range(cfg.num_hidden_layers):
             t0 = time.time()
             blk = params["layers"][i]
-            # ---- capture pass: all Hessians at once + float outputs
+            merge = self._merge_signs(cfg, rng) if self.merge_suv else {}
+            # ---- capture pass: Hessians (first n_hess batches) + float
+            # outputs for every batch (targets + next-block inputs)
             hs: Dict[str, hessian.HessianState] = {}
-            routing_sums: Dict[str, np.ndarray] = {}
             outputs = []
-            for x_in in layer_inputs:
+            for bi, x_in in enumerate(layer_inputs):
                 y, _, caps = block_fwd(blk, jnp.asarray(x_in))
                 outputs.append(np.asarray(y))
+                if bi >= n_hess:
+                    continue
                 for key in cap_keys:
                     if key not in caps:
                         continue
                     act = caps[key]
                     if key == "moe_input":
-                        # per-expert Hessians need routed-token masking;
-                        # handled per group below via the routing tensor
                         routing = np.asarray(caps["moe_routing"])
                         for e in range(cfg.num_local_experts):
                             k_e = f"moe_input_e{e}"
@@ -232,8 +251,17 @@ class QuipQuantizer:
                         hs[key] = hessian.HessianState.zeros(act.shape[-1])
                     hs[key] = hessian.accumulate(hs[key], act)
 
-            # ---- quantize groups sequentially
-            for g in groups:
+            # ---- quantize groups sequentially (+ block finetune between)
+            merge_map = {
+                "self_attn.q_proj": ("qkv_in", None),
+                "self_attn.k_proj": ("qkv_in", None),
+                "self_attn.v_proj": ("qkv_in", "o_in"),
+                "self_attn.o_proj": ("o_in", None),
+                "mlp.gate_proj": ("mlp_in", None),
+                "mlp.up_proj": ("mlp_in", "down_in"),
+                "mlp.down_proj": ("down_in", None),
+            }
+            for gi, g in enumerate(groups):
                 key = g["capture"]
                 if key == "moe_input":
                     key = f"moe_input_e{g['routing_expert']}"
@@ -247,8 +275,13 @@ class QuipQuantizer:
                     if not isinstance(lin, dict) or "weight" not in lin:
                         continue
                     W = np.asarray(lin["weight"], dtype=np.float32)
+                    SU = SV = None
+                    if merge:
+                        su_key, sv_key = merge_map.get(path, (None, None))
+                        SU = merge.get(su_key) if su_key else None
+                        SV = merge.get(sv_key) if sv_key else None
                     attrs, W_hat = quantize_layer(
-                        W, H, self.cb, self._quant_cfg(), rng)
+                        W, H, self.cb, self._quant_cfg(), rng, SU=SU, SV=SV)
                     qp = pack_to_qlinear(
                         attrs, self.cb,
                         bias=None if lin.get("bias") is None
@@ -257,9 +290,104 @@ class QuipQuantizer:
                     _set_nested(blk, path, qp)
                     del W_hat
 
+                if self.ft_epochs > 0 and gi < len(groups) - 1:
+                    from . import finetune as FT
+                    blk = FT.finetune_block(
+                        cfg, blk,
+                        [layer_inputs[k] for k in range(n_hess,
+                                                        len(batches))],
+                        [outputs[k] for k in range(n_hess, len(batches))],
+                        cos, sin, mask,
+                        ft_susv_lr=self.ft_susv_lr, ft_lr=self.ft_lr,
+                        epochs=self.ft_epochs,
+                        valid_frac=max(1, (n_ft // max(n_valid, 1))),
+                        early_stop=self.ft_early_stop)
+                    params["layers"][i] = blk
+
+            if merge:
+                # fold interface signs into the producing norms
+                # (quantizer.py:579-595; signs are +-1 so mul == div)
+                for norm_name, s_key in (("input_layernorm", "qkv_in"),
+                                         ("post_attention_layernorm",
+                                          "mlp_in")):
+                    wn = np.asarray(blk[norm_name]["weight"],
+                                    dtype=np.float32) * merge[s_key]
+                    blk[norm_name]["weight"] = jnp.asarray(wn, dtype=dtype)
+
             logger.info("block %d/%d quantized in %.1fs", i + 1,
                         cfg.num_hidden_layers, time.time() - t0)
             # next block consumes this block's float outputs
             layer_inputs = outputs
 
+        if self.ft_epochs > 0:
+            params = self._finetune_end2end(cfg, params, batches,
+                                            layer_inputs, n_hess, n_valid)
+        return params
+
+    def _finetune_end2end(self, cfg, params, batches, last_outputs,
+                          n_hess, n_valid):
+        """End-to-end CE finetune against the float model's output
+        distributions (parity: quantizer.py:597-702)."""
+        import optax
+        from . import finetune as FT
+
+        @jax.jit
+        def head_probs(x):
+            h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),
+                           cfg.rms_norm_eps)
+            head = params.get("lm_head")
+            if head is None:
+                logits = h @ params["embed_tokens"]["weight"].astype(
+                    h.dtype).T
+            else:
+                logits = M.linear_apply(head, h)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        ft_ids = batches[n_hess:]
+        targets = [np.asarray(head_probs(o)) for o in last_outputs[n_hess:]]
+        if not ft_ids:
+            return params
+
+        flat = FT.collect_trainable(params["layers"])
+        opt = FT.make_susv_optimizer(self.ft_susv_lr, self.ft_lr)
+        opt_state = opt.init(flat)
+
+        def loss_fn(flat, ids, tgt):
+            layers = FT.apply_trainable(params["layers"], flat)
+            p2 = dict(params)
+            p2["layers"] = layers
+            logits, _ = M.model_apply(cfg, p2, ids,
+                                      linear_kw={"training": True})
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return -(tgt * logp).sum(-1).mean()
+
+        @jax.jit
+        def step(flat, opt_state, ids, tgt):
+            loss, grads = jax.value_and_grad(loss_fn)(flat, ids, tgt)
+            upd, opt_state = opt.update(grads, opt_state, flat)
+            return optax.apply_updates(flat, upd), opt_state, loss
+
+        eval_loss = jax.jit(loss_fn)
+        tr_ids, tr_tg = ft_ids[:-n_valid], targets[:-n_valid]
+        va_ids, va_tg = ft_ids[-n_valid:], targets[-n_valid:]
+
+        def vloss(flat):
+            return float(np.mean([eval_loss(flat, a, jnp.asarray(b))
+                                  for a, b in zip(va_ids, va_tg)]))
+
+        best, best_flat, worse = vloss(flat), flat, 0
+        logger.info("end2end initial loss %.5f", best)
+        for ep in range(self.ft_epochs):
+            for a, b in zip(tr_ids, tr_tg):
+                flat, opt_state, _ = step(flat, opt_state, a,
+                                          jnp.asarray(b))
+            cur = vloss(flat)
+            if cur < best:
+                logger.info("end2end epoch %d loss %.5f BETTER", ep, cur)
+                best, best_flat, worse = cur, flat, 0
+            else:
+                worse += 1
+                if worse >= self.ft_early_stop:
+                    break
+        params["layers"] = FT.apply_trainable(params["layers"], best_flat)
         return params

@@ -1,0 +1,79 @@
+"""Finetune pipeline tests: block MSE finetune improves reconstruction,
+ft quantization path runs end-to-end, merge_suv preserves model function
+(SURVEY.md §2 P1 ft_*, P9 merge maps)."""
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quip_for_all_tpu.data.calibration import synthetic_tokens
+from quip_for_all_tpu.models import llama as M
+from quip_for_all_tpu.models.config import tiny_config
+from quip_for_all_tpu.nn.qlinear import QuantLinearParams
+from quip_for_all_tpu.quantize.quantizer import QuipQuantizer
+from quip_for_all_tpu.runtime.generate import perplexity
+
+
+def _fresh(cfg):
+    return M.init_llama_params(cfg, seed=0)
+
+
+def test_quantize_with_finetune_runs_and_helps():
+    cfg = tiny_config(num_hidden_layers=1)
+    params = _fresh(cfg)
+    calib = synthetic_tokens(24, 32, cfg.vocab_size, seed=1)
+    eval_toks = synthetic_tokens(8, 32, cfg.vocab_size, seed=2)
+
+    q0 = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=0)
+    ppl_noft = perplexity(cfg, q0.quantize_model(cfg, _fresh(cfg), calib),
+                          eval_toks, batch_size=4)
+
+    q1 = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=2,
+                       ft_train_size=4, ft_valid_size=4, ft_batch_size=4)
+    qparams = q1.quantize_model(cfg, _fresh(cfg), calib)
+    ppl_ft = perplexity(cfg, qparams, eval_toks, batch_size=4)
+
+    assert np.isfinite(ppl_ft)
+    # finetune must not make things dramatically worse (usually helps)
+    assert ppl_ft < ppl_noft * 1.1, (ppl_noft, ppl_ft)
+    # no W_cache left behind
+    for blk in qparams["layers"]:
+        q = blk["self_attn"]["q_proj"]
+        assert isinstance(q, QuantLinearParams) and q.W_cache is None
+
+
+def test_merge_suv_model_consistency():
+    """merge_suv folds interface signs into norms; the quantized model must
+    still approximate the float model about as well as non-merged."""
+    cfg = tiny_config(num_hidden_layers=2, num_key_value_heads=4)
+    calib = synthetic_tokens(16, 32, cfg.vocab_size, seed=1)
+    eval_toks = synthetic_tokens(8, 32, cfg.vocab_size, seed=2)
+
+    qm = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=0, merge_suv=True)
+    pm = qm.quantize_model(cfg, _fresh(cfg), calib)
+    ppl_m = perplexity(cfg, pm, eval_toks, batch_size=4)
+
+    qn = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=0, merge_suv=False)
+    pn = qn.quantize_model(cfg, _fresh(cfg), calib)
+    ppl_n = perplexity(cfg, pn, eval_toks, batch_size=4)
+
+    assert np.isfinite(ppl_m)
+    assert ppl_m < ppl_n * 1.25, (ppl_m, ppl_n)
+    # merged attention inputs: SU dropped (merged into the norm)
+    q = pm["layers"][0]["self_attn"]["q_proj"]
+    assert q.SU is None
+
+
+def test_merge_suv_rejects_ft():
+    with pytest.raises(ValueError):
+        QuipQuantizer(codebook="D4", merge_suv=True,
+                      ft_epochs=2).quantize_model(
+            tiny_config(), _fresh(tiny_config()),
+            synthetic_tokens(8, 16, 256, 0))
