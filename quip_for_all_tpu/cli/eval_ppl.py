@@ -1,0 +1,43 @@
+"""Perplexity evaluation CLI (wikitext2/C4) — the quality-parity eval the
+reference defers to the quip-sharp blog (``README.md:18``); first-class here
+per BASELINE.md north-star metrics.
+
+    python -m quip_for_all_tpu.cli.eval_ppl --model-path ckpt/ \
+        --dataset wikitext2-test --nsamples 64
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--dataset", default="wikitext2-test")
+    ap.add_argument("--nsamples", type=int, default=64)
+    ap.add_argument("--seqlen", type=int, default=2048)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--tokenizer", default=None)
+    args = ap.parse_args(argv)
+
+    from ..data.calibration import get_calibration_tokens
+    from ..runtime.generate import perplexity
+    from ..utils.checkpoint import load_quantized
+
+    cfg, params, qcfg = load_quantized(args.model_path)
+    tokenizer = None
+    if args.dataset != "synthetic":
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer
+                                                  or args.model_path)
+    toks = get_calibration_tokens(args.dataset, tokenizer, args.nsamples,
+                                  args.seqlen, vocab_size=cfg.vocab_size)
+    ppl = perplexity(cfg, params, toks, batch_size=args.batch_size)
+    print(json.dumps({"dataset": args.dataset, "seqlen": args.seqlen,
+                      "nsamples": args.nsamples,
+                      "codebook": qcfg.get("codebook"), "ppl": ppl}))
+
+
+if __name__ == "__main__":
+    main()

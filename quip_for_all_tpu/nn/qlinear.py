@@ -52,17 +52,25 @@ class QuantLinearParams:
         default=False, metadata=dict(static=True))
     wscale_float: float = dataclasses.field(
         default=1.0, metadata=dict(static=True))
+    # block-diagonal transform shard counts (tensor-parallel checkpoints;
+    # see transforms/incoherence.py HadSpec.shards)
+    shards_left: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
+    shards_right: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
     # cached dense weight for the training path (the reference's self.W,
     # quantizer.py:505-507); constant w.r.t. SU/SV so safe to cache
     W_cache: Optional[jax.Array] = None
 
     @property
     def left_spec(self) -> HadSpec:
-        return HadSpec(self.had_left, self.K_left, self.q_in)
+        return HadSpec(self.had_left, self.K_left, self.q_in,
+                       self.shards_left)
 
     @property
     def right_spec(self) -> HadSpec:
-        return HadSpec(self.had_right, self.K_right, self.q_out)
+        return HadSpec(self.had_right, self.K_right, self.q_out,
+                       self.shards_right)
 
 
 def calc_weight(p: QuantLinearParams, dtype=jnp.float32) -> jax.Array:

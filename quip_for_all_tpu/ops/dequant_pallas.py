@@ -97,8 +97,9 @@ def _make_kernel(cid: str, G: int, n_planes: int, resid_scale: float,
 
 
 def supports(qt: QuantizedTensor) -> bool:
-    return (qt.q_out % 128 == 0 and qt.q_in % 8 == 0
-            and jax.default_backend() == "tpu")
+    # the remote-TPU tunnel platform reports "axon", not "tpu"
+    backend_ok = jax.default_backend() in ("tpu", "axon") or _INTERPRET
+    return qt.q_out % 128 == 0 and qt.q_in % 8 == 0 and backend_ok
 
 
 def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:

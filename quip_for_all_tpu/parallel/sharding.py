@@ -30,6 +30,16 @@ _COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
 _ROW_PARALLEL = ("o_proj", "down_proj", "w2")
 
 
+def role_of(name: str) -> str:
+    """Megatron role of a linear layer by name: "col" (output-sharded),
+    "row" (input-sharded), or "rep" (replicated)."""
+    if any(name.endswith(s) for s in _COL_PARALLEL):
+        return "col"
+    if any(name.endswith(s) for s in _ROW_PARALLEL):
+        return "row"
+    return "rep"
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: Optional[int] = None) -> Mesh:
     devs = jax.devices()
@@ -50,23 +60,26 @@ def _divides(n: int, k: int) -> bool:
 def qlinear_spec(p: QuantLinearParams, role: str, tp: int
                  ) -> QuantLinearParams:
     """PartitionSpec pytree matching a QuantLinearParams instance."""
+    import dataclasses as dc
+
     col = role == "col"
     shard_out = col and _divides(p.q_out, tp)
     shard_in = (not col) and _divides(p.q_in, tp)
 
-    def plane_spec(name, arr):
-        rows_are_out = True  # all runtime planes are (q_out, q_in/k)
+    def plane_spec(arr):
+        # all runtime planes are (q_out, cols(q_in))
         if shard_out:
             return P("tp", None)
         if shard_in:
             return P(None, "tp")
         return P(None, None)
 
-    planes = {k: plane_spec(k, v) for k, v in p.qweight.planes.items()}
+    planes = {k: plane_spec(v) for k, v in p.qweight.planes.items()}
     qt_spec = type(p.qweight)(planes, p.qweight.codebook_id,
                               p.qweight.q_out, p.qweight.q_in,
                               p.qweight.opt_resid_scale)
-    return QuantLinearParams(
+    return dc.replace(
+        p,
         qweight=qt_spec,
         Wscale=None if p.Wscale is None else (P("tp") if shard_out else P()),
         SU=None if p.SU is None else (P("tp") if shard_in else P()),
@@ -74,9 +87,7 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
         bias=None if p.bias is None else (P("tp") if shard_out else P()),
         had_left=None if p.had_left is None else P(None, None),
         had_right=None if p.had_right is None else P(None, None),
-        in_features=p.in_features, out_features=p.out_features,
-        K_left=p.K_left, K_right=p.K_right, q_in=p.q_in, q_out=p.q_out,
-        per_channel=p.per_channel, wscale_float=p.wscale_float)
+        W_cache=None if p.W_cache is None else P(None, None))
 
 
 def dense_spec(lin: Dict[str, Any], role: str, tp: int,

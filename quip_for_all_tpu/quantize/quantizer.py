@@ -280,8 +280,24 @@ class QuipQuantizer:
                         su_key, sv_key = merge_map.get(path, (None, None))
                         SU = merge.get(su_key) if su_key else None
                         SV = merge.get(sv_key) if sv_key else None
+                    lspec = rspec = None
+                    if self.tp_shards > 1:
+                        # block-diagonal transform on the TP-sharded dim
+                        # (col-parallel: out; row-parallel: in) — see
+                        # parallel/sharding.py role tables
+                        from ..parallel.sharding import role_of
+                        role = role_of(path)
+                        if role == "col" and W.shape[0] % self.tp_shards \
+                                == 0:
+                            rspec = get_hadK(W.shape[0], self.use_rand,
+                                             rng, shards=self.tp_shards)
+                        elif role == "row" and W.shape[1] % \
+                                self.tp_shards == 0:
+                            lspec = get_hadK(W.shape[1], self.use_rand,
+                                             rng, shards=self.tp_shards)
                     attrs, W_hat = quantize_layer(
-                        W, H, self.cb, self._quant_cfg(), rng, SU=SU, SV=SV)
+                        W, H, self.cb, self._quant_cfg(), rng, SU=SU, SV=SV,
+                        lspec=lspec, rspec=rspec)
                     qp = pack_to_qlinear(
                         attrs, self.cb,
                         bias=None if lin.get("bias") is None

@@ -84,11 +84,15 @@ def quantize_layer(
     rng: np.random.Generator,
     SU: Optional[np.ndarray] = None,
     SV: Optional[np.ndarray] = None,
+    lspec: Optional[HadSpec] = None,
+    rspec: Optional[HadSpec] = None,
 ) -> Tuple[LayerQuantAttrs, np.ndarray]:
     """Quantize one linear layer.
 
     W: (out, in) float; H: (in, in) input second moment.
     SU/SV: optional externally-merged sign vectors (merge_suv mode).
+    lspec/rspec: optional transform overrides (e.g. block-diagonal
+    tensor-parallel factors from get_hadK(..., shards=tp)).
     Returns (attrs, W_hat_dense (out, in) float32) — the dense reconstruction
     feeds subsequent-block Hessians and finetune, mirroring ``quip.py:163-171``.
     """
@@ -121,8 +125,10 @@ def quantize_layer(
     if SV is None:
         SV = np.sign(rng.standard_normal(n_out) + 1e-5).astype(np.float32)
 
-    lspec = get_hadK(n_in, use_rand=cfg.use_rand, rng=rng)
-    rspec = get_hadK(n_out, use_rand=cfg.use_rand, rng=rng)
+    if lspec is None:
+        lspec = get_hadK(n_in, use_rand=cfg.use_rand, rng=rng)
+    if rspec is None:
+        rspec = get_hadK(n_out, use_rand=cfg.use_rand, rng=rng)
 
     Hr = np.asarray(_transform_H(jnp.asarray(H), jnp.asarray(SU), lspec))
     Wr = np.asarray(_transform_W(jnp.asarray(W), jnp.asarray(SU),
@@ -236,4 +242,5 @@ def pack_to_qlinear(attrs: LayerQuantAttrs, cb: Codebook,
         q_in=lspec.padN, q_out=rspec.padN,
         per_channel=per_channel,
         wscale_float=wscale_float,
+        shards_left=lspec.shards, shards_right=rspec.shards,
     )

@@ -74,14 +74,27 @@ class HadSpec:
       - hadK: the K x K leading factor (None when K == 1)
       - K:    size of the leading factor
       - padN: transform length (>= n; zero-pad when larger)
+      - shards: when > 1, the transform is BLOCK-DIAGONAL,
+        U = I_shards ⊗ U_sub with U_sub acting on padN/shards — the
+        tensor-parallel refactor that makes each TP shard's incoherence
+        factor local (solves the reference's README.md:84 limitation:
+        "tensor-parallel is not supported because Hadamard transform cannot
+        be done for sharded input"). hadK/K then describe U_sub.
     """
     hadK: Optional[np.ndarray]
     K: int
     padN: int
+    shards: int = 1
 
 
 def get_hadK(n: int, use_rand: bool = True,
-             rng: Optional[np.random.Generator] = None) -> HadSpec:
+             rng: Optional[np.random.Generator] = None,
+             shards: int = 1) -> HadSpec:
+    if shards > 1:
+        assert n % shards == 0, (n, shards)
+        sub = get_hadK(n // shards, use_rand=use_rand, rng=rng)
+        assert sub.padN == n // shards
+        return HadSpec(sub.hadK, sub.K, n, shards)
     exp, base = decompose_pow2(n)
     if base == 1:
         return HadSpec(None, 1, n)
@@ -135,6 +148,14 @@ def matmul_hadU(X: jax.Array, spec: HadSpec,
     if n != spec.padN:
         pad = [(0, 0)] * (X.ndim - 1) + [(0, spec.padN - n)]
         X = jnp.pad(X, pad)
+    if spec.shards > 1:
+        # block-diagonal: apply the sub-transform independently per shard
+        # block — under GSPMD the reshape respects the TP shard boundary,
+        # so no cross-device collective is emitted
+        sub = HadSpec(spec.hadK, spec.K, spec.padN // spec.shards)
+        Y = X.reshape(*X.shape[:-1], spec.shards, spec.padN // spec.shards)
+        Y = matmul_hadU(Y, sub, scale=scale, transpose=transpose)
+        return Y.reshape(*X.shape[:-1], spec.padN)
     had_scale = 1.0 / math.sqrt(spec.padN // spec.K)
     if scale is not None:
         had_scale = had_scale * scale

@@ -125,6 +125,11 @@ def load_quant_config(save_dir: str) -> dict:
 
 def _build_qlinear(tensors: Dict[str, np.ndarray], name: str,
                    qcfg: dict) -> QuantLinearParams:
+    from ..parallel.sharding import role_of
+    tp = int(qcfg.get("tp_shards", 1))
+    role = role_of(name)
+    shards_left = tp if (tp > 1 and role == "row") else 1
+    shards_right = tp if (tp > 1 and role == "col") else 1
     cb = get_codebook(qcfg["codebook"],
                       qcfg.get("opt_resid_scale", -1)
                       if qcfg.get("opt_resid_scale", -1) > 0 else None)
@@ -147,7 +152,8 @@ def _build_qlinear(tensors: Dict[str, np.ndarray], name: str,
     if had_left is not None:
         K_left = had_left.shape[0]
     else:
-        spec = get_hadK(in_f, use_rand=False) if not use_rand else None
+        spec = get_hadK(in_f, use_rand=False,
+                        shards=shards_left) if not use_rand else None
         if spec is not None and spec.K > 1:
             K_left, had_left = spec.K, spec.hadK
         else:
@@ -155,7 +161,8 @@ def _build_qlinear(tensors: Dict[str, np.ndarray], name: str,
     if had_right is not None:
         K_right = had_right.shape[0]
     else:
-        spec = get_hadK(out_f, use_rand=False) if not use_rand else None
+        spec = get_hadK(out_f, use_rand=False,
+                        shards=shards_right) if not use_rand else None
         if spec is not None and spec.K > 1:
             K_right, had_right = spec.K, spec.hadK
         else:
@@ -183,7 +190,8 @@ def _build_qlinear(tensors: Dict[str, np.ndarray], name: str,
             np.asarray(had_right, np.float32)),
         in_features=in_f, out_features=out_f,
         K_left=K_left, K_right=K_right, q_in=q_in, q_out=q_out,
-        per_channel=per_channel, wscale_float=wscale_float)
+        per_channel=per_channel, wscale_float=wscale_float,
+        shards_left=shards_left, shards_right=shards_right)
 
 
 def load_quantized(save_dir: str, dtype=jnp.float32
