@@ -62,8 +62,9 @@ def main():
     t0 = time.time()
     params = random_quantized_model(cfg, codebook=args.codebook, seed=0,
                                     dtype=jnp.bfloat16)
-    print(f"# built random {name} {args.codebook} params in "
-          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    params = M.fuse_for_inference(cfg, params)
+    print(f"# built random {name} {args.codebook} params (qkv/gateup "
+          f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)
 
     caches = init_kv_caches(cfg, 1, args.cache_len, dtype=jnp.bfloat16)
     linear_kw = {"matmul_impl": args.impl}

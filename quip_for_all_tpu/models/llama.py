@@ -88,9 +88,14 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     if captures is not None:
         captures["qkv"] = x
-    q = linear_apply(attn_p["q_proj"], x, **linear_kw)
-    k = linear_apply(attn_p["k_proj"], x, **linear_kw)
-    v = linear_apply(attn_p["v_proj"], x, **linear_kw)
+    if "qkv_proj" in attn_p:   # fused single-launch decode (inference)
+        from ..nn.qlinear import fused_apply
+        q, k, v = fused_apply(attn_p["qkv_proj"], x, **{
+            k_: v_ for k_, v_ in linear_kw.items() if k_ != "training"})
+    else:
+        q = linear_apply(attn_p["q_proj"], x, **linear_kw)
+        k = linear_apply(attn_p["k_proj"], x, **linear_kw)
+        v = linear_apply(attn_p["v_proj"], x, **linear_kw)
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KV, hd)
     v = v.reshape(B, S, KV, hd)
@@ -137,8 +142,13 @@ def mlp_apply(mlp_p: Params, x: jax.Array, linear_kw: dict,
               captures: Optional[dict]) -> jax.Array:
     if captures is not None:
         captures["gateup"] = x
-    g = linear_apply(mlp_p["gate_proj"], x, **linear_kw)
-    u = linear_apply(mlp_p["up_proj"], x, **linear_kw)
+    if "gateup_proj" in mlp_p:   # fused single-launch decode (inference)
+        from ..nn.qlinear import fused_apply
+        g, u = fused_apply(mlp_p["gateup_proj"], x, **{
+            k_: v_ for k_, v_ in linear_kw.items() if k_ != "training"})
+    else:
+        g = linear_apply(mlp_p["gate_proj"], x, **linear_kw)
+        u = linear_apply(mlp_p["up_proj"], x, **linear_kw)
     h = jax.nn.silu(g) * u
     if captures is not None:
         captures["down"] = h
@@ -250,6 +260,53 @@ def cache_mask(positions: jax.Array, T: int, dtype=jnp.float32) -> jax.Array:
     j = jnp.arange(T)[None, None, :]
     m = jnp.where(j <= positions[:, :, None], 0.0, -1e9).astype(dtype)
     return m[:, None, :, :].transpose(0, 1, 2, 3)
+
+
+# --------------------------------------------------------------- fusion
+
+def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
+    """Fuse qkv and gate/up QuantLinears that share left transforms into
+    single-launch FusedQuantLinear entries (decode-path optimization;
+    produced by QuipQuantizer.share_group_transforms)."""
+    from ..nn.qlinear import QuantLinearParams, fuse_qlinears
+
+    def sharable(ps):
+        if not all(isinstance(p, QuantLinearParams) for p in ps):
+            return False
+        p0 = ps[0]
+        for p in ps[1:]:
+            if p.q_in != p0.q_in or p.K_left != p0.K_left or \
+                    p.shards_left != p0.shards_left:
+                return False
+            for a, b in ((p.SU, p0.SU), (p.had_left, p0.had_left)):
+                if (a is None) != (b is None):
+                    return False
+                if a is not None and not np.array_equal(np.asarray(a),
+                                                        np.asarray(b)):
+                    return False
+        return True
+
+    out_layers = []
+    for blk in params["layers"]:
+        blk = dict(blk)
+        attn = dict(blk["self_attn"])
+        trio = [attn.get("q_proj"), attn.get("k_proj"), attn.get("v_proj")]
+        if sharable(trio):
+            attn["qkv_proj"] = fuse_qlinears(trio)
+            for k in ("q_proj", "k_proj", "v_proj"):
+                del attn[k]
+        blk["self_attn"] = attn
+        if cfg.arch != "mixtral" and "mlp" in blk:
+            mlp = dict(blk["mlp"])
+            duo = [mlp.get("gate_proj"), mlp.get("up_proj")]
+            if sharable(duo):
+                mlp["gateup_proj"] = fuse_qlinears(duo)
+                del mlp["gate_proj"], mlp["up_proj"]
+            blk["mlp"] = mlp
+        out_layers.append(blk)
+    out = dict(params)
+    out["layers"] = out_layers
+    return out
 
 
 # --------------------------------------------------------------- init

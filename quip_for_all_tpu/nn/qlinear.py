@@ -88,6 +88,94 @@ def calc_weight(p: QuantLinearParams, dtype=jnp.float32) -> jax.Array:
     return w
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedQuantLinear:
+    """Several QuantLinears sharing one input and one LEFT transform, fused
+    into a single decode+matmul launch (e.g. q+k+v, gate+up).
+
+    Requires quantization with shared group transforms
+    (QuipQuantizer.share_group_transforms): the sub-layers' code planes are
+    concatenated along q_out; per-sublayer right transforms, scales, SV and
+    bias stay separate and are applied to the split segments. The per-layer
+    wscale (normally fused into the left transform scale) moves to the
+    output side since it differs per segment.
+    """
+    qweight: QuantizedTensor                 # concat along q_out
+    SU: Optional[jax.Array]
+    had_left: Optional[jax.Array]
+    segments: tuple                          # list of QuantLinearParams
+    K_left: int = dataclasses.field(metadata=dict(static=True))
+    q_in: int = dataclasses.field(metadata=dict(static=True))
+    in_features: int = dataclasses.field(metadata=dict(static=True))
+    shards_left: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
+
+    @property
+    def left_spec(self) -> HadSpec:
+        return HadSpec(self.had_left, self.K_left, self.q_in,
+                       self.shards_left)
+
+
+def fuse_qlinears(ps) -> FusedQuantLinear:
+    """Fuse QuantLinearParams sharing identical left transforms."""
+    import numpy as _np
+    p0 = ps[0]
+    for p in ps[1:]:
+        assert p.q_in == p0.q_in and p.K_left == p0.K_left \
+            and p.shards_left == p0.shards_left
+        assert p.qweight.codebook_id == p0.qweight.codebook_id
+    planes = {
+        k: jnp.concatenate([p.qweight.planes[k] for p in ps], axis=0)
+        for k in p0.qweight.planes
+    }
+    q_out = sum(p.q_out for p in ps)
+    qt = QuantizedTensor(planes, p0.qweight.codebook_id, q_out, p0.q_in,
+                         p0.qweight.opt_resid_scale)
+    # segments keep only per-output metadata/arrays; the shared left side
+    # and the (concatenated) code planes live on the fused container
+    slim = tuple(
+        dataclasses.replace(
+            p,
+            qweight=QuantizedTensor({}, p.qweight.codebook_id, p.q_out,
+                                    p.q_in, p.qweight.opt_resid_scale),
+            SU=None, had_left=None, W_cache=None)
+        for p in ps)
+    return FusedQuantLinear(
+        qweight=qt, SU=p0.SU, had_left=p0.had_left, segments=slim,
+        K_left=p0.K_left, q_in=p0.q_in, in_features=p0.in_features,
+        shards_left=p0.shards_left)
+
+
+def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
+                compute_dtype=jnp.bfloat16, matmul_impl: str = "auto"):
+    """Forward through a fused group; returns a list of per-segment
+    outputs (..., out_features_i)."""
+    batch_shape = x.shape[:-1]
+    x = x.reshape(-1, x.shape[-1])
+    x_dtype = x.dtype
+    if f.SU is not None:
+        x = x * f.SU.astype(x_dtype)
+    x = matmul_hadUt(x, f.left_spec)         # unscaled; wscale per segment
+    x = x.astype(compute_dtype)
+    big = quant_matmul(x, f.qweight, impl=matmul_impl).astype(x_dtype)
+    outs = []
+    off = 0
+    for p in f.segments:
+        seg = big[:, off:off + p.q_out] * p.wscale_float
+        off += p.q_out
+        if p.per_channel:
+            seg = seg * p.Wscale.astype(x_dtype)
+        seg = matmul_hadU(seg, p.right_spec)[:, : p.out_features]
+        if p.SV is not None:
+            seg = seg * p.SV.astype(seg.dtype)
+        seg = seg.reshape(*batch_shape, p.out_features)
+        if p.bias is not None:
+            seg = seg + p.bias.astype(seg.dtype)
+        outs.append(seg)
+    return outs
+
+
 def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
           compute_dtype=jnp.bfloat16, matmul_impl: str = "auto",
           dense_weight: Optional[jax.Array] = None) -> jax.Array:

@@ -117,6 +117,10 @@ class QuipQuantizer:
     ft_early_stop: int = 3
     # TPU-native: tensor-parallel-ready block-diagonal transforms
     tp_shards: int = 1
+    # TPU-native: share SU + left transform across layers fed by the same
+    # activation (qkv, gate/up, expert w1/w3) so they can run as ONE fused
+    # decode+matmul launch at inference (nn.qlinear.fuse_qlinears)
+    share_group_transforms: bool = True
     seed: int = 0
 
     def __post_init__(self):
@@ -268,6 +272,18 @@ class QuipQuantizer:
                 if key not in hs:
                     continue
                 H = np.asarray(hessian.finalize(hs[key]))
+                from ..parallel.sharding import role_of
+                shared_SU = None
+                shared_lspec = None
+                if self.share_group_transforms and len(g["layers"]) > 1:
+                    n_in = H.shape[0]
+                    shared_SU = np.sign(rng.standard_normal(n_in) + 1e-5
+                                        ).astype(np.float32)
+                    l_shards = (self.tp_shards if self.tp_shards > 1
+                                and role_of(g["layers"][0]) == "row"
+                                and n_in % self.tp_shards == 0 else 1)
+                    shared_lspec = get_hadK(n_in, self.use_rand, rng,
+                                            shards=l_shards)
                 for path in g["layers"]:
                     if self._skip(path):
                         continue
@@ -276,28 +292,31 @@ class QuipQuantizer:
                         continue
                     W = np.asarray(lin["weight"], dtype=np.float32)
                     SU = SV = None
+                    su_is_merged = None
                     if merge:
                         su_key, sv_key = merge_map.get(path, (None, None))
                         SU = merge.get(su_key) if su_key else None
                         SV = merge.get(sv_key) if sv_key else None
-                    lspec = rspec = None
+                    elif shared_SU is not None:
+                        SU = shared_SU
+                        su_is_merged = False  # applied at runtime, shared
+                    lspec, rspec = shared_lspec, None
                     if self.tp_shards > 1:
                         # block-diagonal transform on the TP-sharded dim
                         # (col-parallel: out; row-parallel: in) — see
                         # parallel/sharding.py role tables
-                        from ..parallel.sharding import role_of
                         role = role_of(path)
                         if role == "col" and W.shape[0] % self.tp_shards \
                                 == 0:
                             rspec = get_hadK(W.shape[0], self.use_rand,
                                              rng, shards=self.tp_shards)
-                        elif role == "row" and W.shape[1] % \
-                                self.tp_shards == 0:
+                        elif role == "row" and lspec is None and \
+                                W.shape[1] % self.tp_shards == 0:
                             lspec = get_hadK(W.shape[1], self.use_rand,
                                              rng, shards=self.tp_shards)
                     attrs, W_hat = quantize_layer(
                         W, H, self.cb, self._quant_cfg(), rng, SU=SU, SV=SV,
-                        lspec=lspec, rspec=rspec)
+                        lspec=lspec, rspec=rspec, su_is_merged=su_is_merged)
                     qp = pack_to_qlinear(
                         attrs, self.cb,
                         bias=None if lin.get("bias") is None

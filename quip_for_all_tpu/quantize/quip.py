@@ -86,6 +86,8 @@ def quantize_layer(
     SV: Optional[np.ndarray] = None,
     lspec: Optional[HadSpec] = None,
     rspec: Optional[HadSpec] = None,
+    su_is_merged: Optional[bool] = None,
+    sv_is_merged: Optional[bool] = None,
 ) -> Tuple[LayerQuantAttrs, np.ndarray]:
     """Quantize one linear layer.
 
@@ -119,7 +121,8 @@ def quantize_layer(
         H = H / scaleWH[None, :]
         H = H / scaleWH[:, None]
 
-    merge_su, merge_sv = SU is not None, SV is not None
+    merge_su = (SU is not None) if su_is_merged is None else su_is_merged
+    merge_sv = (SV is not None) if sv_is_merged is None else sv_is_merged
     if SU is None:
         SU = np.sign(rng.standard_normal(n_in) + 1e-5).astype(np.float32)
     if SV is None:

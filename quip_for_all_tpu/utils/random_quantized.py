@@ -25,23 +25,17 @@ def _n_codes(cb: Codebook) -> int:
 
 def random_qlinear(cb: Codebook, in_f: int, out_f: int,
                    rng: np.random.Generator, use_rand: bool = True,
-                   bias: bool = False, dtype=jnp.bfloat16
-                   ) -> QuantLinearParams:
-    lspec = get_hadK(in_f, use_rand=use_rand, rng=rng)
+                   bias: bool = False, dtype=jnp.bfloat16,
+                   lspec=None, SU=None) -> QuantLinearParams:
+    if lspec is None:
+        lspec = get_hadK(in_f, use_rand=use_rand, rng=rng)
     rspec = get_hadK(out_f, use_rand=use_rand, rng=rng)
-    n_codes = _n_codes(cb)
-    size = (rspec.padN, lspec.padN // cb.codesz)
-    if n_codes >= 1 << 32:
-        raw = rng.integers(0, 1 << 32, size=size,
-                           dtype=np.uint32).view(np.int32)
-    else:
-        raw = rng.integers(0, n_codes, size=size,
-                           dtype=np.uint32).view(np.int32)
-    qt = from_raw_idxs(cb, raw, rspec.padN, lspec.padN)
+    qt = _random_qtensor(cb, rspec.padN, lspec.padN, rng)
+    if SU is None:
+        SU = np.sign(rng.standard_normal(in_f)).astype(np.float32)
     return QuantLinearParams(
         qweight=qt, Wscale=None,
-        SU=jnp.asarray(np.sign(rng.standard_normal(in_f)).astype(np.float32),
-                       dtype=dtype),
+        SU=jnp.asarray(SU, dtype=dtype),
         SV=jnp.asarray(np.sign(rng.standard_normal(out_f)).astype(np.float32),
                        dtype=dtype),
         bias=jnp.zeros((out_f,), dtype) if bias else None,
@@ -54,6 +48,36 @@ def random_qlinear(cb: Codebook, in_f: int, out_f: int,
         q_in=lspec.padN, q_out=rspec.padN,
         per_channel=False,
         wscale_float=float(1.0 / np.sqrt(in_f)))
+
+
+def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
+                    rng: np.random.Generator):
+    """Random-but-valid runtime word planes, built directly (no idx
+    round-trip — a 7B model's planes generate in seconds, not minutes)."""
+    from ..ops.qtensor import QuantizedTensor, _pad_cols
+    G = q_in // 8
+    def rand_words(mask, extra=0):
+        r = rng.integers(0, 1 << 32, size=(q_out, G),
+                         dtype=np.uint32)
+        w = (r & mask) | (r & extra)
+        return _pad_cols(w.astype(np.uint32).view(np.int32))
+    # E8P word: keep each 3-bit field in {0..3} (valid subset of {0..5}),
+    # random parity bit
+    e8p_mask, e8p_par = np.uint32(0x6DB6DB), np.uint32(0x1000000)
+    if cb.id == "E8P12":
+        planes = {"w0": jnp.asarray(rand_words(e8p_mask, e8p_par))}
+    elif cb.id == "E8P12RVQ4B":
+        planes = {"w0": jnp.asarray(rand_words(e8p_mask, e8p_par)),
+                  "w1": jnp.asarray(rand_words(e8p_mask, e8p_par))}
+    elif cb.id == "E8P12RVQ3B":
+        planes = {"w0": jnp.asarray(rand_words(e8p_mask, e8p_par)),
+                  "w1": jnp.asarray(rand_words(np.uint32(0xFFFFFFFF)))}
+    elif cb.id in ("D4", "HI"):
+        planes = {"w0": jnp.asarray(rand_words(np.uint32(0xFFFFFFFF)))}
+    else:
+        raise ValueError(cb.id)
+    ors = getattr(cb, "opt_resid_scale", -1.0)
+    return QuantizedTensor(planes, cb.id, q_out, q_in, float(ors))
 
 
 def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
@@ -72,16 +96,24 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
         w = (rng.standard_normal((out_f, in_f)) * scale).astype(np.float32)
         return {"weight": jnp.asarray(w, dtype=dtype), "bias": None}
 
-    def q(in_f, out_f):
-        return random_qlinear(cb, in_f, out_f, rng, use_rand, dtype=dtype)
+    def q(in_f, out_f, lspec=None, SU=None):
+        return random_qlinear(cb, in_f, out_f, rng, use_rand, dtype=dtype,
+                              lspec=lspec, SU=SU)
 
     def block():
+        # shared left transforms per activation group (fusable at runtime)
+        qkv_spec = get_hadK(D, use_rand=use_rand, rng=rng)
+        qkv_su = np.sign(rng.standard_normal(D)).astype(np.float32)
+        mlp_spec = get_hadK(D, use_rand=use_rand, rng=rng)
+        mlp_su = np.sign(rng.standard_normal(D)).astype(np.float32)
         blk = {
             "input_layernorm": {"weight": jnp.ones((D,), dtype)},
             "post_attention_layernorm": {"weight": jnp.ones((D,), dtype)},
             "self_attn": {
-                "q_proj": q(D, H * hd), "k_proj": q(D, KV * hd),
-                "v_proj": q(D, KV * hd), "o_proj": q(H * hd, D),
+                "q_proj": q(D, H * hd, qkv_spec, qkv_su),
+                "k_proj": q(D, KV * hd, qkv_spec, qkv_su),
+                "v_proj": q(D, KV * hd, qkv_spec, qkv_su),
+                "o_proj": q(H * hd, D),
             },
         }
         if cfg.arch == "mixtral":
@@ -95,7 +127,8 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
                 ],
             }
         else:
-            blk["mlp"] = {"gate_proj": q(D, I), "up_proj": q(D, I),
+            blk["mlp"] = {"gate_proj": q(D, I, mlp_spec, mlp_su),
+                          "up_proj": q(D, I, mlp_spec, mlp_su),
                           "down_proj": q(I, D)}
         return blk
 
