@@ -103,10 +103,18 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
 
     if kv_cache is not None:
         ck, cv = kv_cache  # (B, S_max, KV, hd)
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype),
-                                                 cache_position, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype),
-                                                 cache_position, axis=1)
+        cp = jnp.asarray(cache_position)
+        if cp.ndim == 0:   # shared write position (single-sequence decode)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k.astype(ck.dtype), cp, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v.astype(cv.dtype), cp, axis=1)
+        else:              # per-slot positions (continuous batching)
+            upd = jax.vmap(
+                lambda c, kk, p: jax.lax.dynamic_update_slice_in_dim(
+                    c, kk, p, axis=0))
+            ck = upd(ck, k.astype(ck.dtype), cp)
+            cv = upd(cv, v.astype(cv.dtype), cp)
         k, v = ck, cv
         new_cache = (ck, cv)
     else:
