@@ -34,6 +34,9 @@ Params = Dict[str, Any]
 def linear_apply(lin: Any, x: jax.Array, **kw) -> jax.Array:
     if isinstance(lin, QuantLinearParams):
         return qlinear.apply(lin, x, **kw)
+    if isinstance(lin, dict) and "lora_base" in lin:
+        from ..nn.lora import lora_apply
+        return lora_apply(lin, x, **kw)
     w = lin["weight"]  # (out, in) HF convention
     y = jax.lax.dot_general(x, w.astype(x.dtype),
                             (((x.ndim - 1,), (1,)), ((), ())),
