@@ -24,7 +24,10 @@ its local factor with no cross-shard collective. See parallel/sharding.py.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import os
+import pickle
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -183,12 +186,20 @@ class QuipQuantizer:
 
     def quantize_model(self, cfg: ModelConfig, params: Dict[str, Any],
                       calib_tokens: np.ndarray,
-                      dtype=jnp.float32) -> Dict[str, Any]:
+                      dtype=jnp.float32,
+                      resume_dir: Optional[str] = None) -> Dict[str, Any]:
         """Quantize in place and return params.
 
         calib_tokens: (nsamples_total, seqlen) int32 token ids. When
         ft_epochs > 0 the trailing ft_train_size + ft_valid_size samples are
         reserved for finetuning (parity: quantizer.py:117-120).
+
+        resume_dir: when set, each completed block's quantized params are
+        checkpointed there and a re-run with the SAME original params and
+        calibration data resumes after the last completed block (replaying
+        only the cheap float forwards). The reference has no
+        mid-quantization resume — a crash at block 40/80 restarts from
+        scratch (SURVEY.md §5).
         """
         if self.ft_epochs > 0 and self.merge_suv:
             raise ValueError("finetune mode is incompatible with merge_suv")
@@ -220,10 +231,31 @@ class QuipQuantizer:
         block_fwd = jax.jit(
             lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
                                          attn_mask=mask, capture=True))
+        plain_fwd = jax.jit(
+            lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
+                                         attn_mask=mask)[0])
+
+        done_upto = -1
+        if resume_dir:
+            meta_path = os.path.join(resume_dir, "resume.json")
+            if os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    done_upto = json.load(f).get("completed", -1)
+                logger.info("resuming after block %d", done_upto)
 
         for i in range(cfg.num_hidden_layers):
             t0 = time.time()
             blk = params["layers"][i]
+
+            if resume_dir and i <= done_upto:
+                # replay float forward only, then swap in the saved block
+                layer_inputs = [np.asarray(plain_fwd(blk, jnp.asarray(x)))
+                                for x in layer_inputs]
+                with open(os.path.join(resume_dir, f"block_{i}.pkl"),
+                          "rb") as f:
+                    params["layers"][i] = jax.tree_util.tree_map(
+                        jnp.asarray, pickle.load(f))
+                continue
             merge = self._merge_signs(cfg, rng) if self.merge_suv else {}
             # ---- capture pass: Hessians (first n_hess batches) + float
             # outputs for every batch (targets + next-block inputs)
@@ -351,6 +383,14 @@ class QuipQuantizer:
 
             logger.info("block %d/%d quantized in %.1fs", i + 1,
                         cfg.num_hidden_layers, time.time() - t0)
+            if resume_dir:
+                os.makedirs(resume_dir, exist_ok=True)
+                with open(os.path.join(resume_dir, f"block_{i}.pkl"),
+                          "wb") as f:
+                    pickle.dump(jax.device_get(params["layers"][i]), f)
+                with open(os.path.join(resume_dir, "resume.json"),
+                          "w") as f:
+                    json.dump({"completed": i}, f)
             # next block consumes this block's float outputs
             layer_inputs = outputs
 
