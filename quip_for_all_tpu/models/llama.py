@@ -123,24 +123,50 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
     else:
         new_cache = None
 
-    # GQA: repeat kv heads
-    if KV != H:
-        rep = H // KV
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+    def _sdpa(k, v, attn_mask):
+        kk, vv = k, v
+        if KV != H:  # GQA: repeat kv heads
+            rep = H // KV
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        qt = q.transpose(0, 2, 1, 3)                   # (B, H, S, hd)
+        kt = kk.transpose(0, 2, 3, 1)                  # (B, H, hd, T)
+        scores = jax.lax.dot_general(
+            qt, kt, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        scores = scores + attn_mask                    # (B, H, S, T)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        vt = vv.transpose(0, 2, 1, 3)                  # (B, H, T, hd)
+        ctx = jax.lax.dot_general(
+            probs, vt, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
 
-    qt = q.transpose(0, 2, 1, 3)                       # (B, H, S, hd)
-    kt = k.transpose(0, 2, 3, 1)                       # (B, H, hd, T)
-    scores = jax.lax.dot_general(
-        qt, kt, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32) / np.sqrt(hd)
-    scores = scores + attn_mask                        # (B, H, S, T)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    vt = v.transpose(0, 2, 1, 3)                       # (B, H, T, hd)
-    ctx = jax.lax.dot_general(
-        probs, vt, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    T = k.shape[1]
+    if (kv_cache is not None and S == 1 and T >= 512):
+        # bucketed decode attention: only read the cache prefix that can be
+        # attended to (a lax.switch over static prefix lengths) — a full
+        # static cache otherwise costs the whole 2048-slot read every token
+        buckets = [256]
+        while buckets[-1] < T:
+            buckets.append(min(buckets[-1] * 2, T))
+        need = jnp.max(jnp.asarray(cache_position)) + 1
+
+        def branch(tb):
+            def f(_):
+                kb = jax.lax.dynamic_slice_in_dim(k, 0, tb, axis=1)
+                vb = jax.lax.dynamic_slice_in_dim(v, 0, tb, axis=1)
+                mb = jax.lax.dynamic_slice_in_dim(attn_mask, 0, tb, axis=3)
+                c = _sdpa(kb, vb, mb)
+                return c
+            return f
+
+        bidx = jnp.searchsorted(jnp.asarray(buckets), need)
+        bidx = jnp.clip(bidx, 0, len(buckets) - 1)
+        ctx = jax.lax.switch(bidx, [branch(tb) for tb in buckets],
+                             operand=None)
+    else:
+        ctx = _sdpa(k, v, attn_mask)
     if captures is not None:
         captures["o"] = ctx
     out = linear_apply(attn_p["o_proj"], ctx, **linear_kw)

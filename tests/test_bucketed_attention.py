@@ -1,0 +1,30 @@
+"""Bucketed decode attention (prefix-sliced static cache) must equal the
+full-cache computation at every position."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from quip_for_all_tpu.models import llama as M
+from quip_for_all_tpu.models.config import tiny_config
+from quip_for_all_tpu.runtime.generate import init_kv_caches
+
+
+def test_bucketed_decode_matches_full_forward():
+    cfg = tiny_config(num_hidden_layers=2, max_position_embeddings=1024)
+    params = M.init_llama_params(cfg, seed=0)
+    ids = jnp.asarray((np.arange(40) * 13 % cfg.vocab_size)[None, :])
+    full_logits, _ = M.model_apply(cfg, params, ids)
+
+    caches = init_kv_caches(cfg, 1, 1024, dtype=jnp.float32)  # T>=512
+    pos = jnp.arange(8)[None, :]
+    l0, caches = M.model_apply(cfg, params, ids[:, :8], positions=pos,
+                               kv_caches=caches, cache_position=0)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(full_logits[:, :8]),
+                               rtol=3e-3, atol=3e-3)
+    for t in range(8, 40):  # decode one by one through the bucketed path
+        lt, caches = M.model_apply(cfg, params, ids[:, t:t + 1],
+                                   positions=jnp.asarray([[t]]),
+                                   kv_caches=caches, cache_position=t)
+        np.testing.assert_allclose(np.asarray(lt[0, 0]),
+                                   np.asarray(full_logits[0, t]),
+                                   rtol=6e-3, atol=6e-3)
