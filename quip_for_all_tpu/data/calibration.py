@@ -29,13 +29,17 @@ _HF_SPECS = {
 
 
 def synthetic_tokens(nsamples: int, seqlen: int, vocab_size: int,
-                     seed: int = 0) -> np.ndarray:
+                     seed: int = 0, process_seed: int = 12345) -> np.ndarray:
     """Deterministic, mildly structured token stream (order-1 Markov over a
     blockwise transition graph) — exercises non-uniform activation
-    statistics without any dataset dependency."""
+    statistics without any dataset dependency. The underlying process is
+    fixed by process_seed (so different `seed` draws are samples of the
+    SAME distribution — train/eval splits are meaningful); `seed` drives
+    only the sampling."""
+    rng_proc = np.random.default_rng(process_seed)
     rng = np.random.default_rng(seed)
     n_states = min(64, vocab_size)
-    trans = rng.dirichlet(np.ones(n_states) * 0.2, size=n_states)
+    trans = rng_proc.dirichlet(np.ones(n_states) * 0.2, size=n_states)
     toks = np.empty((nsamples, seqlen), dtype=np.int32)
     state = rng.integers(0, n_states, size=nsamples)
     for t in range(seqlen):
