@@ -104,6 +104,9 @@ def supports(qt: QuantizedTensor) -> bool:
 
 def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
     # VMEM per tile: word planes (TN*Gp*4*n) + 8 value planes transient
+    forced = os.environ.get("QFA_TN")
+    if forced and q_out % int(forced) == 0:
+        return int(forced)
     budget = 6 * 1024 * 1024
     for tn in (512, 256, 128):
         if q_out % tn == 0 and tn * Gp * 4 * (n_planes + 2) <= budget:

@@ -124,6 +124,9 @@ class QuipQuantizer:
     # activation (qkv, gate/up, expert w1/w3) so they can run as ONE fused
     # decode+matmul launch at inference (nn.qlinear.fuse_qlinears)
     share_group_transforms: bool = True
+    # quantize the output head too (the reference leaves it fp16; at bs=1
+    # decode the dense head costs a full vocab*hidden read per token)
+    quantize_lm_head: bool = False
     seed: int = 0
 
     def __post_init__(self):
@@ -393,6 +396,24 @@ class QuipQuantizer:
                     json.dump({"completed": i}, f)
             # next block consumes this block's float outputs
             layer_inputs = outputs
+
+        if self.quantize_lm_head and params.get("lm_head") is not None \
+                and isinstance(params["lm_head"], dict):
+            hst = hessian.HessianState.zeros(cfg.hidden_size)
+            norm_fn = jax.jit(lambda x: M.rms_norm(
+                params["norm"]["weight"], jnp.asarray(x), cfg.rms_norm_eps))
+            for x in layer_inputs[:n_hess]:
+                hst = hessian.accumulate(hst, norm_fn(x))
+            H = np.asarray(hessian.finalize(hst))
+            lin = params["lm_head"]
+            W = np.asarray(lin["weight"], dtype=np.float32)
+            attrs, _ = quantize_layer(W, H, self.cb, self._quant_cfg(), rng)
+            params["lm_head"] = pack_to_qlinear(
+                attrs, self.cb,
+                bias=None if lin.get("bias") is None
+                else np.asarray(lin["bias"], dtype=np.float32),
+                per_channel=self.per_channel)
+            logger.info("lm_head quantized")
 
         if self.ft_epochs > 0:
             params = self._finetune_end2end(cfg, params, batches,

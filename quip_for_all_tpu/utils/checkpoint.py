@@ -220,11 +220,6 @@ def load_quantized(save_dir: str, dtype=jnp.float32
                                        dtype=dtype)},
         "layers": [],
     }
-    if "lm_head.weight" in tensors:
-        params["lm_head"] = {"weight": jnp.asarray(tensors["lm_head.weight"],
-                                                   dtype=dtype),
-                             "bias": None}
-
     def linear_or_dense(name):
         if name in qlinear_names:
             return _build_qlinear(tensors, name, qcfg)
@@ -232,6 +227,9 @@ def load_quantized(save_dir: str, dtype=jnp.float32
         d["bias"] = (jnp.asarray(tensors[name + ".bias"], dtype=dtype)
                      if name + ".bias" in tensors else None)
         return d
+
+    if "lm_head.weight" in tensors or "lm_head.Qidxs" in tensors:
+        params["lm_head"] = linear_or_dense("lm_head")
 
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"

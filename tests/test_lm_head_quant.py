@@ -1,0 +1,40 @@
+"""Optional lm_head quantization (beyond the reference, which always keeps
+the head fp16)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from quip_for_all_tpu.data.calibration import synthetic_tokens
+from quip_for_all_tpu.models import llama as M
+from quip_for_all_tpu.models.config import tiny_config
+from quip_for_all_tpu.nn.qlinear import QuantLinearParams
+from quip_for_all_tpu.quantize.quantizer import QuipQuantizer
+from quip_for_all_tpu.runtime.generate import generate, perplexity
+from quip_for_all_tpu.utils.checkpoint import load_quantized, save_quantized
+
+
+def test_quantize_lm_head_roundtrip(tmp_path):
+    cfg = tiny_config(num_hidden_layers=1)
+    calib = synthetic_tokens(8, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12RVQ4B", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0, quantize_lm_head=True)
+    params = q.quantize_model(cfg, M.init_llama_params(cfg, seed=0), calib)
+    assert isinstance(params["lm_head"], QuantLinearParams)
+
+    eval_toks = synthetic_tokens(8, 24, cfg.vocab_size, seed=2)
+    ppl = perplexity(cfg, params, eval_toks, batch_size=4)
+    assert np.isfinite(ppl)
+
+    out = np.asarray(generate(cfg, params, jnp.asarray([[1, 2]]), 4,
+                              cache_len=16, dtype_str="float32"))
+    assert out.shape == (1, 6)
+
+    d = str(tmp_path / "qh")
+    save_quantized(cfg, params, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert isinstance(lp["lm_head"], QuantLinearParams)
+    ids = jnp.asarray(eval_toks[:2, :12])
+    l1, _ = M.model_apply(cfg, params, ids)
+    l2, _ = M.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
