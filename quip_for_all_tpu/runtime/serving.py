@@ -40,16 +40,38 @@ class ServingEngine:
                  max_batch: int = 8, cache_len: int = 2048,
                  dtype=jnp.bfloat16, temperature: float = 0.0,
                  top_k: int = 0, prefill_buckets=(32, 128, 512, 2048),
-                 seed: int = 0):
-        self.cfg, self.params = cfg, params
+                 seed: int = 0, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-sharded serving: weights (incl. quantized planes) get
+            # megatron specs, KV caches shard over kv heads
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import kv_cache_specs, shard_params
+            params = shard_params(cfg, params, mesh)
+            self._kv_sh = NamedSharding(
+                mesh, kv_cache_specs(mesh, cfg.num_key_value_heads))
+        self.params = params
         self.B, self.S = max_batch, cache_len
         self.dtype = dtype
         self.temperature, self.top_k = temperature, top_k
         self.buckets = [b for b in prefill_buckets if b <= cache_len]
         KV, hd = cfg.num_key_value_heads, cfg.head_dim
+
+        def _kv(shape):
+            z = jnp.zeros(shape, dtype)
+            if mesh is not None:
+                # caches shard on kv heads only (slots stay addressable)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                z = jax.device_put(z, NamedSharding(
+                    mesh, P(None, None, "tp" if KV % mesh.shape["tp"] == 0
+                            else None, None)))
+            return z
+
         self.caches = [
-            (jnp.zeros((max_batch, cache_len, KV, hd), dtype),
-             jnp.zeros((max_batch, cache_len, KV, hd), dtype))
+            (_kv((max_batch, cache_len, KV, hd)),
+             _kv((max_batch, cache_len, KV, hd)))
             for _ in range(cfg.num_hidden_layers)
         ]
         self.pos = np.zeros(max_batch, dtype=np.int32)       # next write pos

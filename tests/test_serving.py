@@ -25,6 +25,35 @@ def test_serving_completes_requests():
     assert out[rids[2]].shape[0] == 4 + 5  # admitted after a slot frees
 
 
+def test_serving_tensor_sharded_matches_unsharded():
+    """A tp=2 mesh-sharded engine must produce the same greedy tokens as
+    the single-device engine (BASELINE config #5: tensor-sharded serving
+    with continuous batching)."""
+    from quip_for_all_tpu.data.calibration import synthetic_tokens
+    from quip_for_all_tpu.parallel.sharding import make_mesh
+    from quip_for_all_tpu.quantize.quantizer import QuipQuantizer
+
+    cfg = tiny_config(num_hidden_layers=2)
+    calib = synthetic_tokens(8, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0, tp_shards=2)
+    params = q.quantize_model(cfg, M.init_llama_params(cfg, seed=0), calib)
+
+    prompt = np.array([3, 1, 4, 1, 5], dtype=np.int32)
+    ref_eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                            dtype=jnp.float32, prefill_buckets=(8,))
+    r0 = ref_eng.add_request(prompt, max_new_tokens=6)
+    ref = ref_eng.run(max_steps=50)[r0]
+
+    mesh = make_mesh(2, dp=1)
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_buckets=(8,), mesh=mesh)
+    rid = eng.add_request(prompt, max_new_tokens=6)
+    with mesh:
+        out = eng.run(max_steps=50)[rid]
+    assert np.array_equal(out, ref), (out, ref)
+
+
 def test_serving_matches_generate_greedy():
     """A single greedy request through the engine must equal the plain
     scan-based generate."""
