@@ -26,6 +26,7 @@ BASELINE_TOKENS_PER_SEC = 138.0  # reference README.md:73
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--codebook", default="E8P12")
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--cache-len", type=int, default=2048)
     ap.add_argument("--small", action="store_true",
@@ -66,7 +67,8 @@ def main():
     print(f"# built random {name} {args.codebook} params (qkv/gateup "
           f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    caches = init_kv_caches(cfg, 1, args.cache_len, dtype=jnp.bfloat16)
+    B = args.batch
+    caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16)
     linear_kw = {"matmul_impl": args.impl}
 
     def decode_many(params, caches, tok, pos, n):
@@ -86,8 +88,8 @@ def main():
     fn = jax.jit(functools.partial(decode_many, n=args.tokens),
                  donate_argnums=(1,))
 
-    tok = jnp.asarray([7], dtype=jnp.int32)
-    pos = jnp.asarray([16], dtype=jnp.int32)
+    tok = jnp.full((B,), 7, dtype=jnp.int32)
+    pos = jnp.full((B,), 16, dtype=jnp.int32)
 
     # NOTE: block_until_ready is unreliable over the experimental remote
     # backend; np.asarray forces a real device->host fetch of the produced
@@ -104,10 +106,11 @@ def main():
         caches, toks = fn(params, caches, tok, pos)
         _ = np.asarray(toks)
     dt = (time.time() - t0) / reps
-    tps = args.tokens / dt
+    tps = args.tokens * B / dt
     print(f"# {args.tokens} tokens in {dt:.3f}s", file=sys.stderr)
 
-    metric = f"decode_tokens_per_sec_{name}_{args.codebook.lower()}_bs1"
+    metric = (f"decode_tokens_per_sec_{name}_{args.codebook.lower()}"
+              f"_bs{B}")
     print(json.dumps({
         "metric": metric,
         "value": round(tps, 2),
