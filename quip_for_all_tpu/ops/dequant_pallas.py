@@ -37,6 +37,9 @@ def _u32(x):
 
 
 def _e8p_planes(w_i32):
+    # NOTE: a float-bits decode (bitcast(0x4B000000|u) == 2^23+u) was tried
+    # and rejected: the fractional offset can't ride in the magic constant
+    # (ulp(2^23) = 1.0), forcing an extra subtract with no op saved.
     w = _u32(w_i32)
     parity = ((w >> 24) & 1).astype(jnp.int32)
     offm = jnp.float32(-2.25) - 0.5 * parity.astype(jnp.float32)
