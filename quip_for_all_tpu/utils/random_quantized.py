@@ -52,15 +52,18 @@ def random_qlinear(cb: Codebook, in_f: int, out_f: int,
 
 def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
                     rng: np.random.Generator):
-    """Random-but-valid runtime word planes, built directly (no idx
-    round-trip — a 7B model's planes generate in seconds, not minutes)."""
-    from ..ops.qtensor import QuantizedTensor, _pad_cols
+    """Random-but-valid runtime word planes, generated ON DEVICE (a 7B
+    model's planes would take minutes to push through the host link)."""
+    import jax
+
+    from ..ops.qtensor import QuantizedTensor
     G = q_in // 8
+    Gp = -(-G // 128) * 128
     def rand_words(mask, extra=0):
-        r = rng.integers(0, 1 << 32, size=(q_out, G),
-                         dtype=np.uint32)
-        w = (r & mask) | (r & extra)
-        return _pad_cols(w.astype(np.uint32).view(np.int32))
+        key = jax.random.PRNGKey(int(rng.integers(0, 1 << 31)))
+        r = jax.random.bits(key, (q_out, Gp), jnp.uint32)
+        w = (r & jnp.uint32(mask)) | (r & jnp.uint32(extra))
+        return jax.lax.bitcast_convert_type(w, jnp.int32)
     # E8P word: keep each 3-bit field in {0..3} (valid subset of {0..5}),
     # random parity bit
     e8p_mask, e8p_par = np.uint32(0x6DB6DB), np.uint32(0x1000000)
@@ -93,8 +96,10 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
                  cfg.head_dim)
 
     def dense(out_f, in_f, scale=0.02):
-        w = (rng.standard_normal((out_f, in_f)) * scale).astype(np.float32)
-        return {"weight": jnp.asarray(w, dtype=dtype), "bias": None}
+        import jax
+        key = jax.random.PRNGKey(int(rng.integers(0, 1 << 31)))
+        w = jax.random.normal(key, (out_f, in_f), dtype) * scale
+        return {"weight": w, "bias": None}
 
     def q(in_f, out_f, lspec=None, SU=None):
         return random_qlinear(cb, in_f, out_f, rng, use_rand, dtype=dtype,
@@ -133,12 +138,11 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
         return blk
 
     params = {
-        "embed_tokens": {"weight": jnp.asarray(
-            (rng.standard_normal((cfg.vocab_size, D)) * 0.02
-             ).astype(np.float32), dtype=dtype)},
+        "embed_tokens": dense(cfg.vocab_size, D),
         "layers": [block() for _ in range(cfg.num_hidden_layers)],
         "norm": {"weight": jnp.ones((D,), dtype)},
     }
+    params["embed_tokens"].pop("bias")
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense(cfg.vocab_size, D)
     return params
