@@ -41,6 +41,19 @@ class ModelConfig:
     @classmethod
     def from_hf_config(cls, cfg: dict) -> "ModelConfig":
         model_type = cfg.get("model_type", "llama")
+        if model_type == "gpt2":
+            return cls(
+                arch="gpt2",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["n_embd"],
+                intermediate_size=cfg.get("n_inner") or 4 * cfg["n_embd"],
+                num_hidden_layers=cfg["n_layer"],
+                num_attention_heads=cfg["n_head"],
+                num_key_value_heads=cfg["n_head"],
+                max_position_embeddings=cfg.get("n_positions", 1024),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                tie_word_embeddings=True,
+            )
         arch = "mixtral" if model_type == "mixtral" else "llama"
         return cls(
             arch=arch,

@@ -1,0 +1,32 @@
+"""Architecture registry: uniform functional API per model family
+(the role of the reference's BLOCK_PATTERNS genericity,
+``constants.py:19-24``)."""
+from __future__ import annotations
+
+from .config import ModelConfig
+
+
+def get_arch(cfg: ModelConfig):
+    """Return the module implementing this config's family."""
+    if cfg.arch == "gpt2":
+        from . import gpt2
+        return gpt2
+    from . import llama
+    return llama
+
+
+def embed(cfg: ModelConfig, params, ids, positions, dtype):
+    import jax.numpy as jnp
+    if cfg.arch == "gpt2":
+        x = jnp.take(params["wte"]["weight"], ids, axis=0).astype(dtype)
+        return x + jnp.take(params["wpe"]["weight"], positions,
+                            axis=0).astype(dtype)
+    return jnp.take(params["embed_tokens"]["weight"], ids,
+                    axis=0).astype(dtype)
+
+
+def rope_tables(cfg: ModelConfig, positions):
+    if cfg.arch == "gpt2":
+        return None, None
+    from . import llama
+    return llama.rope_tables(cfg, positions)

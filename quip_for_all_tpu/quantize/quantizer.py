@@ -69,6 +69,13 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
     """Quantization order within a block: qkv -> o -> fc1 -> fc2
     (parity: utils.py:199-207 + constants.py patterns). Each entry maps a
     capture key to the linear layer paths fed by that activation."""
+    if cfg.arch == "gpt2":
+        return [
+            {"capture": "qkv", "layers": ["attn.c_attn"]},
+            {"capture": "o", "layers": ["attn.c_proj"]},
+            {"capture": "fc1", "layers": ["mlp.c_fc"]},
+            {"capture": "fc2", "layers": ["mlp.c_proj"]},
+        ]
     if cfg.arch == "mixtral":
         groups = [
             {"capture": "qkv", "layers": ["self_attn.q_proj",
@@ -217,26 +224,28 @@ class QuipQuantizer:
                                      (i + 1) * self.batch_size])
             for i in range(n_hess + n_ft)
         ]
+        from ..models import registry as R
+        ARCH = R.get_arch(cfg)
         B, S = self.batch_size, calib_tokens.shape[1]
         positions = jnp.arange(S)[None, :].repeat(B, 0)
-        cos, sin = M.rope_tables(cfg, positions)
+        cos, sin = R.rope_tables(cfg, positions)
         mask = M.causal_mask(S, S)
         n_valid = max(1, self.ft_valid_size // self.batch_size) \
             if n_ft > 0 else 0
 
-        embed = jax.jit(lambda ids: jnp.take(
-            params["embed_tokens"]["weight"], ids, axis=0).astype(dtype))
+        embed = jax.jit(lambda ids: R.embed(cfg, params, ids, positions,
+                                            dtype))
         layer_inputs = [np.asarray(embed(b)) for b in batches]
 
         groups = sublayer_groups(cfg)
         cap_keys = sorted({g["capture"] for g in groups})
 
         block_fwd = jax.jit(
-            lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
-                                         attn_mask=mask, capture=True))
+            lambda blk, x: ARCH.block_apply(cfg, blk, x, cos, sin,
+                                            attn_mask=mask, capture=True))
         plain_fwd = jax.jit(
-            lambda blk, x: M.block_apply(cfg, blk, x, cos, sin,
-                                         attn_mask=mask)[0])
+            lambda blk, x: ARCH.block_apply(cfg, blk, x, cos, sin,
+                                            attn_mask=mask)[0])
 
         done_upto = -1
         if resume_dir:
@@ -429,6 +438,12 @@ class QuipQuantizer:
 
         @jax.jit
         def head_probs(x):
+            if cfg.arch == "gpt2":
+                from ..models import gpt2 as G
+                h = G.layer_norm(params["ln_f"], jnp.asarray(x),
+                                 cfg.rms_norm_eps)
+                logits = h @ params["wte"]["weight"].astype(h.dtype).T
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),
                            cfg.rms_norm_eps)
             head = params.get("lm_head")
@@ -448,12 +463,15 @@ class QuipQuantizer:
         opt = FT.make_susv_optimizer(self.ft_susv_lr, self.ft_lr)
         opt_state = opt.init(flat)
 
+        from ..models.registry import get_arch
+        ARCH = get_arch(cfg)
+
         def loss_fn(flat, ids, tgt):
             layers = FT.apply_trainable(params["layers"], flat)
             p2 = dict(params)
             p2["layers"] = layers
-            logits, _ = M.model_apply(cfg, p2, ids,
-                                      linear_kw={"training": True})
+            logits, _ = ARCH.model_apply(cfg, p2, ids,
+                                         linear_kw={"training": True})
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return -(tgt * logp).sum(-1).mean()
 

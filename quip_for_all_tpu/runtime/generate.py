@@ -17,6 +17,7 @@ import numpy as np
 
 from ..models import llama as M
 from ..models.config import ModelConfig
+from ..models.registry import get_arch
 
 
 def init_kv_caches(cfg: ModelConfig, batch: int, max_len: int,
@@ -63,7 +64,8 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
 
     # ---- prefill
     positions = jnp.arange(S)[None, :].repeat(B, 0)
-    logits, caches = M.model_apply(
+    A = get_arch(cfg)
+    logits, caches = A.model_apply(
         cfg, params, prompt_ids, positions=positions, kv_caches=caches,
         cache_position=0, dtype=dtype)
     key, sub = jax.random.split(key)
@@ -75,7 +77,7 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
         caches, tok, pos, key = carry
         key, sub = jax.random.split(key)
         positions = pos[:, None]
-        logits, caches = M.model_apply(
+        logits, caches = A.model_apply(
             cfg, params, tok[:, None], positions=positions,
             kv_caches=caches, cache_position=pos[0], dtype=dtype)
         nxt = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
@@ -95,10 +97,12 @@ def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,
                    dtype=jnp.bfloat16):
     """A jittable single-token decode step (for benchmarking the hot path in
     isolation): (params, caches, tok (B,), pos scalar) -> (logits, caches)."""
+    A = get_arch(cfg)
+
     def step(params, caches, tok, pos):
         B = tok.shape[0]
         positions = jnp.broadcast_to(pos, (B,))[:, None]
-        logits, caches = M.model_apply(
+        logits, caches = A.model_apply(
             cfg, params, tok[:, None], positions=positions,
             kv_caches=caches, cache_position=pos, dtype=dtype)
         return logits[:, -1, :], caches
@@ -111,9 +115,11 @@ def perplexity(cfg: ModelConfig, params: Dict[str, Any],
     """Sliding-window perplexity over (N, S) token windows — the eval the
     reference defers to the quip-sharp blog (README.md:18); first-class here
     because quality parity is a north-star metric (BASELINE.md)."""
+    A = get_arch(cfg)
+
     @jax.jit
     def nll(batch):
-        logits, _ = M.model_apply(cfg, params, batch, dtype=dtype)
+        logits, _ = A.model_apply(cfg, params, batch, dtype=dtype)
         logp = jax.nn.log_softmax(logits[:, :-1, :].astype(jnp.float32),
                                   axis=-1)
         tgt = batch[:, 1:]

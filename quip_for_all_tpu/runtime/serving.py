@@ -23,6 +23,7 @@ import numpy as np
 
 from ..models import llama as M
 from ..models.config import ModelConfig
+from ..models.registry import get_arch
 from .generate import sample_token
 
 
@@ -121,7 +122,7 @@ class ServingEngine:
             # single-sequence prefill (batch 1), cache slot 0
             S = ids.shape[1]
             positions = jnp.arange(S)[None, :]
-            logits, caches = M.model_apply(
+            logits, caches = get_arch(self.cfg).model_apply(
                 self.cfg, params, ids, positions=positions,
                 kv_caches=caches, cache_position=0, dtype=self.dtype)
             last = logits[0, true_len - 1, :]
@@ -132,7 +133,7 @@ class ServingEngine:
 
     def _decode_impl(self, caches, params, tok, pos, active, key):
         positions = pos[:, None]
-        logits, caches = M.model_apply(
+        logits, caches = get_arch(self.cfg).model_apply(
             self.cfg, params, tok[:, None], positions=positions,
             kv_caches=caches, cache_position=pos, dtype=self.dtype)
         nxt = sample_token(logits[:, -1, :].astype(jnp.float32), key,

@@ -89,6 +89,23 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
     os.makedirs(save_dir, exist_ok=True)
     flat = _flatten(params, quant_config)
     save_file(flat, os.path.join(save_dir, "model.safetensors"))
+    if cfg.arch == "gpt2":
+        hf_cfg = {
+            "model_type": "gpt2",
+            "vocab_size": cfg.vocab_size,
+            "n_embd": cfg.hidden_size,
+            "n_inner": cfg.intermediate_size,
+            "n_layer": cfg.num_hidden_layers,
+            "n_head": cfg.num_attention_heads,
+            "n_positions": cfg.max_position_embeddings,
+            "layer_norm_epsilon": cfg.rms_norm_eps,
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
     hf_cfg = {
         "model_type": "mixtral" if cfg.arch == "mixtral" else "llama",
         "vocab_size": cfg.vocab_size,
@@ -213,6 +230,10 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     qlinear_names = sorted({k[: -len(".Qidxs")] for k in tensors
                             if k.endswith(".Qidxs")})
 
+    if cfg.arch == "gpt2":
+        return cfg, _load_gpt2(cfg, tensors, qlinear_names, qcfg,
+                               dtype), qcfg
+
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
             tensors["model.embed_tokens.weight"], dtype=dtype)},
@@ -261,3 +282,39 @@ def load_quantized(save_dir: str, dtype=jnp.float32
             }
         params["layers"].append(blk)
     return cfg, params, qcfg
+
+
+def _load_gpt2(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+               ) -> Dict[str, Any]:
+    def linear_or_dense(name):
+        if name in qlinear_names:
+            return _build_qlinear(tensors, name, qcfg)
+        d = {"weight": jnp.asarray(tensors[name + ".weight"], dtype=dtype)}
+        d["bias"] = (jnp.asarray(tensors[name + ".bias"], dtype=dtype)
+                     if name + ".bias" in tensors else None)
+        return d
+
+    def ln(name):
+        return {"weight": jnp.asarray(tensors[name + ".weight"],
+                                      dtype=dtype),
+                "bias": jnp.asarray(tensors[name + ".bias"], dtype=dtype)}
+
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(tensors["model.wte.weight"],
+                                      dtype=dtype)},
+        "wpe": {"weight": jnp.asarray(tensors["model.wpe.weight"],
+                                      dtype=dtype)},
+        "ln_f": ln("model.ln_f"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "ln_1": ln(f"{p}.ln_1"),
+            "ln_2": ln(f"{p}.ln_2"),
+            "attn": {"c_attn": linear_or_dense(f"{p}.attn.c_attn"),
+                     "c_proj": linear_or_dense(f"{p}.attn.c_proj")},
+            "mlp": {"c_fc": linear_or_dense(f"{p}.mlp.c_fc"),
+                    "c_proj": linear_or_dense(f"{p}.mlp.c_proj")},
+        })
+    return params

@@ -43,6 +43,8 @@ def load_hf_model(path: str, dtype=jnp.float32
                   ) -> Tuple[ModelConfig, Dict[str, Any]]:
     cfg = ModelConfig.from_pretrained_dir(path)
     t = _open_all_tensors(path)
+    if cfg.arch == "gpt2":
+        return cfg, _gpt2_params(cfg, t, dtype)
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -92,3 +94,44 @@ def load_hf_model(path: str, dtype=jnp.float32
                           for x in ("gate_proj", "up_proj", "down_proj")}
         params["layers"].append(blk)
     return cfg, params
+
+
+def _gpt2_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                 ) -> Dict[str, Any]:
+    """HF GPT-2 state dict -> our pytree. HF stores Conv1D weights as
+    (in, out); we transpose to (out, in) — the reference handles the same
+    via transformers.Conv1D (``quip.py:29-30``)."""
+    def conv1d(name):
+        w = np.asarray(t[name + ".weight"], dtype=np.float32).T
+        d = {"weight": jnp.asarray(np.ascontiguousarray(w), dtype=dtype)}
+        d["bias"] = (jnp.asarray(np.asarray(t[name + ".bias"],
+                                            dtype=np.float32), dtype=dtype)
+                     if name + ".bias" in t else None)
+        return d
+
+    def ln(name):
+        return {"weight": jnp.asarray(np.asarray(
+                    t[name + ".weight"], dtype=np.float32), dtype=dtype),
+                "bias": jnp.asarray(np.asarray(
+                    t[name + ".bias"], dtype=np.float32), dtype=dtype)}
+
+    pre = "" if "wte.weight" in t else "transformer."
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(np.asarray(
+            t[pre + "wte.weight"], dtype=np.float32), dtype=dtype)},
+        "wpe": {"weight": jnp.asarray(np.asarray(
+            t[pre + "wpe.weight"], dtype=np.float32), dtype=dtype)},
+        "ln_f": ln(pre + "ln_f"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}h.{i}"
+        params["layers"].append({
+            "ln_1": ln(f"{p}.ln_1"),
+            "ln_2": ln(f"{p}.ln_2"),
+            "attn": {"c_attn": conv1d(f"{p}.attn.c_attn"),
+                     "c_proj": conv1d(f"{p}.attn.c_proj")},
+            "mlp": {"c_fc": conv1d(f"{p}.mlp.c_fc"),
+                    "c_proj": conv1d(f"{p}.mlp.c_proj")},
+        })
+    return params
