@@ -86,9 +86,13 @@ def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
 def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
                            seed: int = 0, use_rand: bool = True,
                            dtype=jnp.bfloat16,
-                           quantize_experts: bool = True) -> Dict[str, Any]:
+                           quantize_experts: bool = True,
+                           quantize_head: bool = False) -> Dict[str, Any]:
     """Full model params with every block linear quantized (gates and
-    embeddings stay dense, matching modules_to_not_convert defaults)."""
+    embeddings stay dense, matching modules_to_not_convert defaults).
+    quantize_head also replaces lm_head (NOTE: currently regresses whole-
+    model decode ~5x on v5e — scheduling interaction under investigation,
+    see round-2 notes; the option is off by default)."""
     cb = get_codebook(codebook)
     rng = np.random.default_rng(seed)
     D, I = cfg.hidden_size, cfg.intermediate_size
@@ -144,5 +148,8 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
     }
     params["embed_tokens"].pop("bias")
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = dense(cfg.vocab_size, D)
+        if quantize_head and cfg.vocab_size % 128 == 0:
+            params["lm_head"] = q(D, cfg.vocab_size)
+        else:
+            params["lm_head"] = dense(cfg.vocab_size, D)
     return params
