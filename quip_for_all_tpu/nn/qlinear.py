@@ -21,6 +21,7 @@ load-time fixups at ``quantizer.py:836-844``):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -29,7 +30,8 @@ import jax.numpy as jnp
 from ..ops.dequant_xla import decode_weights
 from ..ops.qtensor import QuantizedTensor
 from ..ops.quant_matmul import quant_matmul
-from ..transforms.incoherence import HadSpec, matmul_hadU, matmul_hadUt
+from ..transforms.incoherence import (HadSpec, hadamard_transform,
+                                      matmul_hadU, matmul_hadUt)
 
 
 @jax.tree_util.register_dataclass
@@ -110,6 +112,16 @@ class FusedQuantLinear:
     in_features: int = dataclasses.field(metadata=dict(static=True))
     shards_left: int = dataclasses.field(
         default=1, metadata=dict(static=True))
+    # batched-epilogue fast path (uniform segments, see fuse_qlinears):
+    # the per-segment right transforms collapse into ONE batched kron
+    # evaluation and the elementwise scales into two concatenated vectors,
+    # cutting the decode step's count of tiny dispatched dots.
+    right_uniform: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    right_hadK_stack: Optional[jax.Array] = None   # (nseg, K_r, K_r) | None
+    pre_vec: Optional[jax.Array] = None            # (Σ q_out,) wscale·Wscale
+    SV_all: Optional[jax.Array] = None             # (Σ q_out,) or None
+    bias_all: Optional[jax.Array] = None           # (Σ out_f,) or None
 
     @property
     def left_spec(self) -> HadSpec:
@@ -141,10 +153,41 @@ def fuse_qlinears(ps) -> FusedQuantLinear:
                                     p.q_in, p.qweight.opt_resid_scale),
             SU=None, had_left=None, W_cache=None)
         for p in ps)
+    # uniform-segment fast path: identical right-side geometry lets the
+    # per-segment right transforms run as one batched evaluation
+    uniform = all(
+        p.q_out == p0.q_out and p.out_features == p.q_out
+        and p.K_right == p0.K_right and p.shards_right == 1
+        and ((p.had_right is None) == (p0.had_right is None))
+        for p in ps)
+    hadK_stack = None
+    pre_vec = SV_all = bias_all = None
+    if uniform:
+        if p0.had_right is not None:
+            hadK_stack = jnp.stack(
+                [jnp.asarray(p.had_right) for p in ps])     # (nseg, K, K)
+        pre = []
+        for p in ps:
+            v = jnp.full((p.q_out,), p.wscale_float, jnp.float32)
+            if p.per_channel:
+                v = v * p.Wscale.astype(jnp.float32)
+            pre.append(v)
+        pre_vec = jnp.concatenate(pre)
+        if any(p.SV is not None for p in ps):
+            SV_all = jnp.concatenate(
+                [p.SV.astype(jnp.float32) if p.SV is not None
+                 else jnp.ones((p.q_out,), jnp.float32) for p in ps])
+        if any(p.bias is not None for p in ps):
+            bias_all = jnp.concatenate(
+                [p.bias.astype(jnp.float32) if p.bias is not None
+                 else jnp.zeros((p.out_features,), jnp.float32)
+                 for p in ps])
     return FusedQuantLinear(
         qweight=qt, SU=p0.SU, had_left=p0.had_left, segments=slim,
         K_left=p0.K_left, q_in=p0.q_in, in_features=p0.in_features,
-        shards_left=p0.shards_left)
+        shards_left=p0.shards_left, right_uniform=uniform,
+        right_hadK_stack=hadK_stack, pre_vec=pre_vec, SV_all=SV_all,
+        bias_all=bias_all)
 
 
 def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
@@ -159,6 +202,26 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
     x = matmul_hadUt(x, f.left_spec)         # unscaled; wscale per segment
     x = x.astype(compute_dtype)
     big = quant_matmul(x, f.qweight, impl=matmul_impl).astype(x_dtype)
+    if f.right_uniform:
+        # batched epilogue: one scale, one batched kron transform, one
+        # (optional) stacked-hadK dot for ALL segments together
+        seg0 = f.segments[0]
+        q_out, nseg = seg0.q_out, len(f.segments)
+        spec = seg0.right_spec                  # padN == q_out, shards == 1
+        had_scale = 1.0 / math.sqrt(spec.padN // spec.K)
+        Y = big * f.pre_vec.astype(x_dtype)
+        Y = Y.reshape(-1, nseg, spec.K, spec.padN // spec.K)
+        Y = hadamard_transform(Y, had_scale)
+        if f.right_hadK_stack is not None:
+            Y = jnp.einsum("mskp,sjk->msjp", Y,
+                           f.right_hadK_stack.astype(Y.dtype))
+        Y = Y.reshape(-1, nseg * q_out)
+        if f.SV_all is not None:
+            Y = Y * f.SV_all.astype(Y.dtype)
+        if f.bias_all is not None:
+            Y = Y + f.bias_all.astype(Y.dtype)
+        return [Y[:, i * q_out:(i + 1) * q_out].reshape(*batch_shape, q_out)
+                for i in range(nseg)]
     outs = []
     off = 0
     for p in f.segments:
