@@ -31,6 +31,9 @@ class ModelConfig:
     # MoE (mixtral)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # gpt_neox family
+    rotary_pct: float = 1.0
+    use_parallel_residual: bool = True
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -52,6 +55,45 @@ class ModelConfig:
                 num_key_value_heads=cfg["n_head"],
                 max_position_embeddings=cfg.get("n_positions", 1024),
                 rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                tie_word_embeddings=True,
+            )
+        if model_type == "gpt_neox":
+            return cls(
+                arch="gpt_neox",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg["num_attention_heads"],
+                max_position_embeddings=cfg.get(
+                    "max_position_embeddings", 2048),
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                rope_theta=cfg.get("rotary_emb_base", 10000.0),
+                rotary_pct=cfg.get("rotary_pct", 0.25),
+                use_parallel_residual=cfg.get("use_parallel_residual",
+                                              True),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "opt":
+            if not cfg.get("do_layer_norm_before", True):
+                raise ValueError(
+                    "post-LayerNorm OPT (opt-350m) is not supported")
+            if cfg.get("word_embed_proj_dim",
+                       cfg["hidden_size"]) != cfg["hidden_size"]:
+                raise ValueError("OPT word_embed_proj_dim != hidden_size "
+                                 "is not supported")
+            return cls(
+                arch="opt",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["ffn_dim"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg["num_attention_heads"],
+                max_position_embeddings=cfg.get(
+                    "max_position_embeddings", 2048),
+                rms_norm_eps=1e-5,
                 tie_word_embeddings=True,
             )
         arch = "mixtral" if model_type == "mixtral" else "llama"

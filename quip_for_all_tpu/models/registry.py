@@ -11,6 +11,12 @@ def get_arch(cfg: ModelConfig):
     if cfg.arch == "gpt2":
         from . import gpt2
         return gpt2
+    if cfg.arch == "gpt_neox":
+        from . import gpt_neox
+        return gpt_neox
+    if cfg.arch == "opt":
+        from . import opt
+        return opt
     from . import llama
     return llama
 
@@ -21,12 +27,24 @@ def embed(cfg: ModelConfig, params, ids, positions, dtype):
         x = jnp.take(params["wte"]["weight"], ids, axis=0).astype(dtype)
         return x + jnp.take(params["wpe"]["weight"], positions,
                             axis=0).astype(dtype)
+    if cfg.arch == "gpt_neox":
+        return jnp.take(params["embed_in"]["weight"], ids,
+                        axis=0).astype(dtype)
+    if cfg.arch == "opt":
+        from .opt import POS_OFFSET
+        x = jnp.take(params["embed_tokens"]["weight"], ids,
+                     axis=0).astype(dtype)
+        return x + jnp.take(params["embed_positions"]["weight"],
+                            positions + POS_OFFSET, axis=0).astype(dtype)
     return jnp.take(params["embed_tokens"]["weight"], ids,
                     axis=0).astype(dtype)
 
 
 def rope_tables(cfg: ModelConfig, positions):
-    if cfg.arch == "gpt2":
+    if cfg.arch in ("gpt2", "opt"):
         return None, None
+    if cfg.arch == "gpt_neox":
+        from . import gpt_neox
+        return gpt_neox.rope_tables(cfg, positions)
     from . import llama
     return llama.rope_tables(cfg, positions)

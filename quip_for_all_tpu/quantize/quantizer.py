@@ -76,6 +76,22 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             {"capture": "fc1", "layers": ["mlp.c_fc"]},
             {"capture": "fc2", "layers": ["mlp.c_proj"]},
         ]
+    if cfg.arch == "gpt_neox":
+        return [
+            {"capture": "qkv", "layers": ["attention.query_key_value"]},
+            {"capture": "o", "layers": ["attention.dense"]},
+            {"capture": "fc1", "layers": ["mlp.dense_h_to_4h"]},
+            {"capture": "fc2", "layers": ["mlp.dense_4h_to_h"]},
+        ]
+    if cfg.arch == "opt":
+        return [
+            {"capture": "qkv", "layers": ["self_attn.q_proj",
+                                          "self_attn.k_proj",
+                                          "self_attn.v_proj"]},
+            {"capture": "o", "layers": ["self_attn.out_proj"]},
+            {"capture": "fc1", "layers": ["fc1"]},
+            {"capture": "fc2", "layers": ["fc2"]},
+        ]
     if cfg.arch == "mixtral":
         groups = [
             {"capture": "qkv", "layers": ["self_attn.q_proj",
@@ -443,6 +459,19 @@ class QuipQuantizer:
                 h = G.layer_norm(params["ln_f"], jnp.asarray(x),
                                  cfg.rms_norm_eps)
                 logits = h @ params["wte"]["weight"].astype(h.dtype).T
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if cfg.arch == "gpt_neox":
+                from ..models import gpt2 as G
+                h = G.layer_norm(params["final_layer_norm"],
+                                 jnp.asarray(x), cfg.rms_norm_eps)
+                logits = M.linear_apply(params["embed_out"], h)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if cfg.arch == "opt":
+                from ..models import gpt2 as G
+                h = G.layer_norm(params["final_layer_norm"],
+                                 jnp.asarray(x), cfg.rms_norm_eps)
+                logits = h @ params["embed_tokens"]["weight"].astype(
+                    h.dtype).T
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),
                            cfg.rms_norm_eps)

@@ -106,6 +106,43 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
         with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
             json.dump(quant_config, f, indent=2)
         return
+    if cfg.arch == "gpt_neox":
+        hf_cfg = {
+            "model_type": "gpt_neox",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "layer_norm_eps": cfg.rms_norm_eps,
+            "rotary_emb_base": cfg.rope_theta,
+            "rotary_pct": cfg.rotary_pct,
+            "use_parallel_residual": cfg.use_parallel_residual,
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
+    if cfg.arch == "opt":
+        hf_cfg = {
+            "model_type": "opt",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "ffn_dim": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "do_layer_norm_before": True,
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
     hf_cfg = {
         "model_type": "mixtral" if cfg.arch == "mixtral" else "llama",
         "vocab_size": cfg.vocab_size,
@@ -233,6 +270,12 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     if cfg.arch == "gpt2":
         return cfg, _load_gpt2(cfg, tensors, qlinear_names, qcfg,
                                dtype), qcfg
+    if cfg.arch == "gpt_neox":
+        return cfg, _load_gpt_neox(cfg, tensors, qlinear_names, qcfg,
+                                   dtype), qcfg
+    if cfg.arch == "opt":
+        return cfg, _load_opt(cfg, tensors, qlinear_names, qcfg,
+                              dtype), qcfg
 
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
@@ -316,5 +359,76 @@ def _load_gpt2(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
                      "c_proj": linear_or_dense(f"{p}.attn.c_proj")},
             "mlp": {"c_fc": linear_or_dense(f"{p}.mlp.c_fc"),
                     "c_proj": linear_or_dense(f"{p}.mlp.c_proj")},
+        })
+    return params
+
+
+def _loaders(tensors, qlinear_names, qcfg, dtype):
+    def linear_or_dense(name):
+        if name in qlinear_names:
+            return _build_qlinear(tensors, name, qcfg)
+        d = {"weight": jnp.asarray(tensors[name + ".weight"], dtype=dtype)}
+        d["bias"] = (jnp.asarray(tensors[name + ".bias"], dtype=dtype)
+                     if name + ".bias" in tensors else None)
+        return d
+
+    def ln(name):
+        return {"weight": jnp.asarray(tensors[name + ".weight"],
+                                      dtype=dtype),
+                "bias": jnp.asarray(tensors[name + ".bias"], dtype=dtype)}
+
+    return linear_or_dense, ln
+
+
+def _load_gpt_neox(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+                   ) -> Dict[str, Any]:
+    linear_or_dense, ln = _loaders(tensors, qlinear_names, qcfg, dtype)
+    params: Dict[str, Any] = {
+        "embed_in": {"weight": jnp.asarray(
+            tensors["model.embed_in.weight"], dtype=dtype)},
+        "final_layer_norm": ln("model.final_layer_norm"),
+        "embed_out": linear_or_dense("model.embed_out"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "input_layernorm": ln(f"{p}.input_layernorm"),
+            "post_attention_layernorm": ln(
+                f"{p}.post_attention_layernorm"),
+            "attention": {
+                "query_key_value": linear_or_dense(
+                    f"{p}.attention.query_key_value"),
+                "dense": linear_or_dense(f"{p}.attention.dense")},
+            "mlp": {
+                "dense_h_to_4h": linear_or_dense(
+                    f"{p}.mlp.dense_h_to_4h"),
+                "dense_4h_to_h": linear_or_dense(
+                    f"{p}.mlp.dense_4h_to_h")},
+        })
+    return params
+
+
+def _load_opt(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+              ) -> Dict[str, Any]:
+    linear_or_dense, ln = _loaders(tensors, qlinear_names, qcfg, dtype)
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jnp.asarray(
+            tensors["model.embed_tokens.weight"], dtype=dtype)},
+        "embed_positions": {"weight": jnp.asarray(
+            tensors["model.embed_positions.weight"], dtype=dtype)},
+        "final_layer_norm": ln("model.final_layer_norm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "self_attn_layer_norm": ln(f"{p}.self_attn_layer_norm"),
+            "final_layer_norm": ln(f"{p}.final_layer_norm"),
+            "self_attn": {
+                x: linear_or_dense(f"{p}.self_attn.{x}")
+                for x in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "fc1": linear_or_dense(f"{p}.fc1"),
+            "fc2": linear_or_dense(f"{p}.fc2"),
         })
     return params

@@ -45,6 +45,10 @@ def load_hf_model(path: str, dtype=jnp.float32
     t = _open_all_tensors(path)
     if cfg.arch == "gpt2":
         return cfg, _gpt2_params(cfg, t, dtype)
+    if cfg.arch == "gpt_neox":
+        return cfg, _gpt_neox_params(cfg, t, dtype)
+    if cfg.arch == "opt":
+        return cfg, _opt_params(cfg, t, dtype)
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -133,5 +137,83 @@ def _gpt2_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
                      "c_proj": conv1d(f"{p}.attn.c_proj")},
             "mlp": {"c_fc": conv1d(f"{p}.mlp.c_fc"),
                     "c_proj": conv1d(f"{p}.mlp.c_proj")},
+        })
+    return params
+
+
+def _named_lin(t, name, dtype):
+    d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
+                                          dtype=np.float32), dtype=dtype)}
+    d["bias"] = (jnp.asarray(np.asarray(t[name + ".bias"],
+                                        dtype=np.float32), dtype=dtype)
+                 if name + ".bias" in t else None)
+    return d
+
+
+def _named_ln(t, name, dtype):
+    return {"weight": jnp.asarray(np.asarray(
+                t[name + ".weight"], dtype=np.float32), dtype=dtype),
+            "bias": jnp.asarray(np.asarray(
+                t[name + ".bias"], dtype=np.float32), dtype=dtype)}
+
+
+def _gpt_neox_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                     ) -> Dict[str, Any]:
+    """HF GPTNeoXForCausalLM state dict -> our pytree (fused
+    query_key_value kept in HF's per-head interleaved layout)."""
+    pre = "gpt_neox." if "gpt_neox.embed_in.weight" in t else ""
+    params: Dict[str, Any] = {
+        "embed_in": {"weight": jnp.asarray(np.asarray(
+            t[pre + "embed_in.weight"], dtype=np.float32), dtype=dtype)},
+        "final_layer_norm": _named_ln(t, pre + "final_layer_norm", dtype),
+        "embed_out": _named_lin(t, "embed_out", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}layers.{i}"
+        params["layers"].append({
+            "input_layernorm": _named_ln(t, f"{p}.input_layernorm", dtype),
+            "post_attention_layernorm": _named_ln(
+                t, f"{p}.post_attention_layernorm", dtype),
+            "attention": {
+                "query_key_value": _named_lin(
+                    t, f"{p}.attention.query_key_value", dtype),
+                "dense": _named_lin(t, f"{p}.attention.dense", dtype)},
+            "mlp": {
+                "dense_h_to_4h": _named_lin(
+                    t, f"{p}.mlp.dense_h_to_4h", dtype),
+                "dense_4h_to_h": _named_lin(
+                    t, f"{p}.mlp.dense_4h_to_h", dtype)},
+        })
+    return params
+
+
+def _opt_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                ) -> Dict[str, Any]:
+    """HF OPTForCausalLM state dict -> our pytree."""
+    pre = ("model.decoder." if "model.decoder.embed_tokens.weight" in t
+           else "decoder." if "decoder.embed_tokens.weight" in t else "")
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jnp.asarray(np.asarray(
+            t[pre + "embed_tokens.weight"], dtype=np.float32),
+            dtype=dtype)},
+        "embed_positions": {"weight": jnp.asarray(np.asarray(
+            t[pre + "embed_positions.weight"], dtype=np.float32),
+            dtype=dtype)},
+        "final_layer_norm": _named_ln(t, pre + "final_layer_norm", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}layers.{i}"
+        params["layers"].append({
+            "self_attn_layer_norm": _named_ln(
+                t, f"{p}.self_attn_layer_norm", dtype),
+            "final_layer_norm": _named_ln(
+                t, f"{p}.final_layer_norm", dtype),
+            "self_attn": {x: _named_lin(t, f"{p}.self_attn.{x}", dtype)
+                          for x in ("q_proj", "k_proj", "v_proj",
+                                    "out_proj")},
+            "fc1": _named_lin(t, f"{p}.fc1", dtype),
+            "fc2": _named_lin(t, f"{p}.fc2", dtype),
         })
     return params

@@ -1,0 +1,145 @@
+"""GPT-NeoX and OPT families: forward/cached-decode parity, quantization
+end-to-end, generate, checkpoint roundtrip (reference constants.py covers
+both via name patterns: "gpt_neox.layers" / "model.decoder.layers")."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from quip_for_all_tpu.data.calibration import synthetic_tokens
+from quip_for_all_tpu.models import gpt_neox as NX
+from quip_for_all_tpu.models import opt as OPT
+from quip_for_all_tpu.models.config import ModelConfig
+from quip_for_all_tpu.nn.qlinear import QuantLinearParams
+from quip_for_all_tpu.quantize.quantizer import QuipQuantizer
+from quip_for_all_tpu.runtime.generate import (generate, init_kv_caches,
+                                               perplexity)
+
+
+def _tiny_neox(**kw):
+    base = dict(arch="gpt_neox", vocab_size=256, hidden_size=64,
+                intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=4,
+                max_position_embeddings=128, rotary_pct=0.25)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _tiny_opt():
+    return ModelConfig(arch="opt", vocab_size=256, hidden_size=64,
+                       intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=4,
+                       max_position_embeddings=128,
+                       tie_word_embeddings=True)
+
+
+def _check_cached_decode(cfg, A, params):
+    ids = jnp.asarray((np.arange(10) * 7 % cfg.vocab_size)[None, :])
+    full_logits, _ = A.model_apply(cfg, params, ids)
+    assert full_logits.shape == (1, 10, cfg.vocab_size)
+    caches = init_kv_caches(cfg, 1, 16, dtype=jnp.float32)
+    l0, caches = A.model_apply(cfg, params, ids[:, :4],
+                               positions=jnp.arange(4)[None, :],
+                               kv_caches=caches, cache_position=0)
+    np.testing.assert_allclose(np.asarray(l0),
+                               np.asarray(full_logits[:, :4]),
+                               rtol=3e-3, atol=3e-3)
+    for t in range(4, 10):
+        lt, caches = A.model_apply(cfg, params, ids[:, t:t + 1],
+                                   positions=jnp.asarray([[t]]),
+                                   kv_caches=caches, cache_position=t)
+        np.testing.assert_allclose(np.asarray(lt[0, 0]),
+                                   np.asarray(full_logits[0, t]),
+                                   rtol=6e-3, atol=6e-3)
+
+
+def test_neox_forward_and_cached_decode():
+    cfg = _tiny_neox()
+    _check_cached_decode(cfg, NX, NX.init_gpt_neox_params(cfg, seed=0))
+
+
+def test_neox_sequential_residual():
+    cfg = _tiny_neox(use_parallel_residual=False)
+    _check_cached_decode(cfg, NX, NX.init_gpt_neox_params(cfg, seed=0))
+
+
+def test_opt_forward_and_cached_decode():
+    cfg = _tiny_opt()
+    _check_cached_decode(cfg, OPT, OPT.init_opt_params(cfg, seed=0))
+
+
+def test_neox_quantize_generate_roundtrip(tmp_path):
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = _tiny_neox()
+    params = NX.init_gpt_neox_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    blk = qparams["layers"][0]
+    assert isinstance(blk["attention"]["query_key_value"],
+                      QuantLinearParams)
+    assert isinstance(blk["mlp"]["dense_4h_to_h"], QuantLinearParams)
+
+    eval_toks = synthetic_tokens(8, 24, cfg.vocab_size, seed=2)
+    ppl_q = perplexity(cfg, qparams, eval_toks, batch_size=4)
+    ppl_f = perplexity(cfg, params, eval_toks, batch_size=4)
+    assert np.isfinite(ppl_q) and ppl_q < ppl_f * 3.0
+
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+
+    d = str(tmp_path / "nx")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.arch == "gpt_neox" and cfg2.rotary_pct == cfg.rotary_pct
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = NX.model_apply(cfg, qparams, ids)
+    l2, _ = NX.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_opt_quantize_generate_roundtrip(tmp_path):
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = _tiny_opt()
+    params = OPT.init_opt_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    blk = qparams["layers"][0]
+    assert isinstance(blk["self_attn"]["out_proj"], QuantLinearParams)
+    assert isinstance(blk["fc1"], QuantLinearParams)
+
+    eval_toks = synthetic_tokens(8, 24, cfg.vocab_size, seed=2)
+    ppl_q = perplexity(cfg, qparams, eval_toks, batch_size=4)
+    ppl_f = perplexity(cfg, params, eval_toks, batch_size=4)
+    assert np.isfinite(ppl_q) and ppl_q < ppl_f * 3.0
+
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+
+    d = str(tmp_path / "op")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.arch == "opt"
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = OPT.model_apply(cfg, qparams, ids)
+    l2, _ = OPT.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_new_family_roles():
+    from quip_for_all_tpu.parallel.sharding import role_of
+    assert role_of("attention.query_key_value") == "col"
+    assert role_of("mlp.dense_h_to_4h") == "col"
+    assert role_of("attention.dense") == "row"
+    assert role_of("mlp.dense_4h_to_h") == "row"
+    assert role_of("self_attn.out_proj") == "row"
+    assert role_of("fc1") == "col"
+    assert role_of("fc2") == "row"
