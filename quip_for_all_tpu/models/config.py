@@ -75,6 +75,29 @@ class ModelConfig:
                                               True),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
+        if model_type in ("falcon", "RefinedWeb", "RefinedWebModel"):
+            if cfg.get("new_decoder_architecture", False):
+                raise ValueError("falcon new_decoder_architecture "
+                                 "(dual-LN 40b) is not supported yet")
+            D = cfg.get("hidden_size", cfg.get("d_model"))
+            H = cfg.get("num_attention_heads", cfg.get("n_head"))
+            kv = 1 if cfg.get("multi_query", True) else H
+            return cls(
+                arch="falcon",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=D,
+                intermediate_size=cfg.get("ffn_hidden_size", 4 * D),
+                num_hidden_layers=cfg.get("num_hidden_layers",
+                                          cfg.get("n_layer")),
+                num_attention_heads=H,
+                num_key_value_heads=kv,
+                max_position_embeddings=cfg.get(
+                    "max_position_embeddings", 2048),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                use_parallel_residual=cfg.get("parallel_attn", True),
+                tie_word_embeddings=True,
+            )
         if model_type == "opt":
             if not cfg.get("do_layer_norm_before", True):
                 raise ValueError(

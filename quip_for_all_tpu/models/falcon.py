@@ -1,0 +1,193 @@
+"""Functional Falcon family decoder (falcon-7b/40b-style), pure JAX.
+
+Fifth architecture family. The reference covers Falcon via name patterns
+(``/root/reference/constants.py:22`` "transformer.h" + ATTN patterns for
+"self_attention.query_key_value"/"self_attention.dense"). Family behavior
+handled natively:
+  - fused query_key_value with HF's GROUPED interleaved layout: output rows
+    ordered (kv_group, {q_0..q_per_group-1, k, v}, head_dim); covers both
+    the multi-query 7b layout (1 kv group) and the 40b GQA layout;
+  - parallel attention + MLP off a single input LayerNorm
+    (parallel_attn=True, new_decoder_architecture handled via
+    num_kv_heads); the non-parallel pre/post-LN variant is also supported
+    (cfg.use_parallel_residual=False);
+  - full rotary embeddings, LayerNorm with bias, tied lm_head.
+
+Same API surface as models/llama.py so the quantizer, generate loop and
+serving engine work unchanged through models.registry.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .gpt2 import layer_norm
+from .llama import (apply_rope, causal_mask, cache_mask, linear_apply,
+                    rope_tables)
+
+Params = Dict[str, Any]
+
+
+def split_fused_qkv(cfg: ModelConfig, qkv: jax.Array):
+    """HF Falcon fused layout -> q (B,S,H,hd), k/v (B,S,KV,hd)."""
+    B, S = qkv.shape[:2]
+    H, KV, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    per = H // KV
+    g = qkv.reshape(B, S, KV, per + 2, hd)
+    q = g[..., :per, :].reshape(B, S, H, hd)
+    k = g[..., per, :]
+    v = g[..., per + 1, :]
+    return q, k, v
+
+
+def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
+              cache_position, attn_mask, linear_kw, captures):
+    B, S, D = x.shape
+    H, KV, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    if captures is not None:
+        captures["qkv"] = x
+    qkv = linear_apply(attn_p["query_key_value"], x, **linear_kw)
+    q, k, v = split_fused_qkv(cfg, qkv)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if kv_cache is not None:
+        ck, cv = kv_cache
+        cp = jnp.asarray(cache_position)
+        if cp.ndim == 0:
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k.astype(ck.dtype), cp, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v.astype(cv.dtype), cp, axis=1)
+        else:
+            upd = jax.vmap(
+                lambda c, kk, p: jax.lax.dynamic_update_slice_in_dim(
+                    c, kk, p, axis=0))
+            ck = upd(ck, k.astype(ck.dtype), cp)
+            cv = upd(cv, v.astype(cv.dtype), cp)
+        k, v = ck, cv
+        new_cache = (ck, cv)
+    else:
+        new_cache = None
+
+    if KV != H:
+        k = jnp.repeat(k, H // KV, axis=2)
+        v = jnp.repeat(v, H // KV, axis=2)
+    qt = q.transpose(0, 2, 1, 3)
+    scores = jax.lax.dot_general(
+        qt, k, (((3,), (3,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    scores = scores + attn_mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jax.lax.dot_general(
+        probs, v, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    if captures is not None:
+        captures["o"] = ctx
+    out = linear_apply(attn_p["dense"], ctx, **linear_kw)
+    return out, new_cache
+
+
+def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
+                kv_cache=None, cache_position=None, attn_mask=None,
+                linear_kw: Optional[dict] = None, capture: bool = False):
+    linear_kw = linear_kw or {}
+    captures: Optional[dict] = {} if capture else None
+
+    def mlp(h):
+        if captures is not None:
+            captures["fc1"] = h
+        m = linear_apply(blk["mlp"]["dense_h_to_4h"], h, **linear_kw)
+        m = jax.nn.gelu(m, approximate=True)
+        if captures is not None:
+            captures["fc2"] = m
+        return linear_apply(blk["mlp"]["dense_4h_to_h"], m, **linear_kw)
+
+    if cfg.use_parallel_residual:   # falcon parallel_attn: one shared LN
+        h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
+        a, new_cache = attention(cfg, blk["self_attention"], h, cos, sin,
+                                 kv_cache, cache_position, attn_mask,
+                                 linear_kw, captures)
+        x = x + a + mlp(h)
+    else:
+        h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
+        a, new_cache = attention(cfg, blk["self_attention"], h, cos, sin,
+                                 kv_cache, cache_position, attn_mask,
+                                 linear_kw, captures)
+        x = x + a
+        h = layer_norm(blk["post_attention_layernorm"], x,
+                       cfg.rms_norm_eps)
+        x = x + mlp(h)
+    return x, new_cache, captures
+
+
+def model_apply(cfg: ModelConfig, params: Params, input_ids,
+                positions=None, kv_caches=None, cache_position=None,
+                attn_mask=None, linear_kw=None, dtype=jnp.float32):
+    B, S = input_ids.shape
+    x = jnp.take(params["word_embeddings"]["weight"], input_ids, axis=0
+                 ).astype(dtype)
+    if positions is None:
+        positions = jnp.arange(S)[None, :].repeat(B, 0)
+    cos, sin = rope_tables(cfg, positions)
+    if attn_mask is None:
+        if kv_caches is None:
+            attn_mask = causal_mask(S, S)
+        else:
+            attn_mask = cache_mask(positions, kv_caches[0][0].shape[1])
+    new_caches = [] if kv_caches is not None else None
+    for i in range(cfg.num_hidden_layers):
+        cache_i = kv_caches[i] if kv_caches is not None else None
+        x, nc, _ = block_apply(cfg, params["layers"][i], x, cos, sin,
+                               cache_i, cache_position, attn_mask,
+                               linear_kw)
+        if new_caches is not None:
+            new_caches.append(nc)
+    x = layer_norm(params["ln_f"], x, cfg.rms_norm_eps)
+    logits = x @ params["word_embeddings"]["weight"].astype(x.dtype).T
+    return logits, new_caches
+
+
+def init_falcon_params(cfg: ModelConfig, seed: int = 0,
+                       dtype=jnp.float32) -> Params:
+    rng = np.random.default_rng(seed)
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, KV, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+
+    def lin(out_f, in_f, bias=True):
+        w = (rng.standard_normal((out_f, in_f)) / np.sqrt(in_f)
+             ).astype(np.float32)
+        return {"weight": jnp.asarray(w, dtype=dtype),
+                "bias": jnp.zeros((out_f,), dtype) if bias else None}
+
+    def ln():
+        return {"weight": jnp.ones((D,), dtype),
+                "bias": jnp.zeros((D,), dtype)}
+
+    def block():
+        blk = {
+            "input_layernorm": ln(),
+            "self_attention": {
+                "query_key_value": lin((H + 2 * KV) * hd, D, bias=False),
+                "dense": lin(D, H * hd, bias=False)},
+            "mlp": {"dense_h_to_4h": lin(I, D, bias=False),
+                    "dense_4h_to_h": lin(D, I, bias=False)},
+        }
+        if not cfg.use_parallel_residual:
+            blk["post_attention_layernorm"] = ln()
+        return blk
+
+    return {
+        "word_embeddings": {"weight": jnp.asarray(
+            (rng.standard_normal((cfg.vocab_size, D)) * 0.02
+             ).astype(np.float32), dtype=dtype)},
+        "layers": [block() for _ in range(cfg.num_hidden_layers)],
+        "ln_f": ln(),
+    }

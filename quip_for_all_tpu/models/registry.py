@@ -17,6 +17,9 @@ def get_arch(cfg: ModelConfig):
     if cfg.arch == "opt":
         from . import opt
         return opt
+    if cfg.arch == "falcon":
+        from . import falcon
+        return falcon
     from . import llama
     return llama
 
@@ -36,6 +39,9 @@ def embed(cfg: ModelConfig, params, ids, positions, dtype):
                      axis=0).astype(dtype)
         return x + jnp.take(params["embed_positions"]["weight"],
                             positions + POS_OFFSET, axis=0).astype(dtype)
+    if cfg.arch == "falcon":
+        return jnp.take(params["word_embeddings"]["weight"], ids,
+                        axis=0).astype(dtype)
     return jnp.take(params["embed_tokens"]["weight"], ids,
                     axis=0).astype(dtype)
 

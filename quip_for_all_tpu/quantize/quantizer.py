@@ -83,6 +83,14 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             {"capture": "fc1", "layers": ["mlp.dense_h_to_4h"]},
             {"capture": "fc2", "layers": ["mlp.dense_4h_to_h"]},
         ]
+    if cfg.arch == "falcon":
+        return [
+            {"capture": "qkv",
+             "layers": ["self_attention.query_key_value"]},
+            {"capture": "o", "layers": ["self_attention.dense"]},
+            {"capture": "fc1", "layers": ["mlp.dense_h_to_4h"]},
+            {"capture": "fc2", "layers": ["mlp.dense_4h_to_h"]},
+        ]
     if cfg.arch == "opt":
         return [
             {"capture": "qkv", "layers": ["self_attn.q_proj",
@@ -471,6 +479,13 @@ class QuipQuantizer:
                 h = G.layer_norm(params["final_layer_norm"],
                                  jnp.asarray(x), cfg.rms_norm_eps)
                 logits = h @ params["embed_tokens"]["weight"].astype(
+                    h.dtype).T
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if cfg.arch == "falcon":
+                from ..models import gpt2 as G
+                h = G.layer_norm(params["ln_f"], jnp.asarray(x),
+                                 cfg.rms_norm_eps)
+                logits = h @ params["word_embeddings"]["weight"].astype(
                     h.dtype).T
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),

@@ -126,6 +126,26 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
         with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
             json.dump(quant_config, f, indent=2)
         return
+    if cfg.arch == "falcon":
+        hf_cfg = {
+            "model_type": "falcon",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "ffn_hidden_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "multi_query": cfg.num_key_value_heads == 1,
+            "parallel_attn": cfg.use_parallel_residual,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "layer_norm_epsilon": cfg.rms_norm_eps,
+            "rope_theta": cfg.rope_theta,
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
     if cfg.arch == "opt":
         hf_cfg = {
             "model_type": "opt",
@@ -276,6 +296,9 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     if cfg.arch == "opt":
         return cfg, _load_opt(cfg, tensors, qlinear_names, qcfg,
                               dtype), qcfg
+    if cfg.arch == "falcon":
+        return cfg, _load_falcon(cfg, tensors, qlinear_names, qcfg,
+                                 dtype), qcfg
 
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
@@ -431,4 +454,34 @@ def _load_opt(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
             "fc1": linear_or_dense(f"{p}.fc1"),
             "fc2": linear_or_dense(f"{p}.fc2"),
         })
+    return params
+
+
+def _load_falcon(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+                 ) -> Dict[str, Any]:
+    linear_or_dense, ln = _loaders(tensors, qlinear_names, qcfg, dtype)
+    params: Dict[str, Any] = {
+        "word_embeddings": {"weight": jnp.asarray(
+            tensors["model.word_embeddings.weight"], dtype=dtype)},
+        "ln_f": ln("model.ln_f"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        blk = {
+            "input_layernorm": ln(f"{p}.input_layernorm"),
+            "self_attention": {
+                "query_key_value": linear_or_dense(
+                    f"{p}.self_attention.query_key_value"),
+                "dense": linear_or_dense(f"{p}.self_attention.dense")},
+            "mlp": {
+                "dense_h_to_4h": linear_or_dense(
+                    f"{p}.mlp.dense_h_to_4h"),
+                "dense_4h_to_h": linear_or_dense(
+                    f"{p}.mlp.dense_4h_to_h")},
+        }
+        if f"{p}.post_attention_layernorm.weight" in tensors:
+            blk["post_attention_layernorm"] = ln(
+                f"{p}.post_attention_layernorm")
+        params["layers"].append(blk)
     return params

@@ -49,6 +49,8 @@ def load_hf_model(path: str, dtype=jnp.float32
         return cfg, _gpt_neox_params(cfg, t, dtype)
     if cfg.arch == "opt":
         return cfg, _opt_params(cfg, t, dtype)
+    if cfg.arch == "falcon":
+        return cfg, _falcon_params(cfg, t, dtype)
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -216,4 +218,39 @@ def _opt_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
             "fc1": _named_lin(t, f"{p}.fc1", dtype),
             "fc2": _named_lin(t, f"{p}.fc2", dtype),
         })
+    return params
+
+
+def _falcon_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                   ) -> Dict[str, Any]:
+    """HF FalconForCausalLM / RW state dict -> our pytree."""
+    pre = ("transformer." if "transformer.word_embeddings.weight" in t
+           else "")
+    params: Dict[str, Any] = {
+        "word_embeddings": {"weight": jnp.asarray(np.asarray(
+            t[pre + "word_embeddings.weight"], dtype=np.float32),
+            dtype=dtype)},
+        "ln_f": _named_ln(t, pre + "ln_f", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}h.{i}"
+        blk = {
+            "input_layernorm": _named_ln(t, f"{p}.input_layernorm",
+                                         dtype),
+            "self_attention": {
+                "query_key_value": _named_lin(
+                    t, f"{p}.self_attention.query_key_value", dtype),
+                "dense": _named_lin(t, f"{p}.self_attention.dense",
+                                    dtype)},
+            "mlp": {
+                "dense_h_to_4h": _named_lin(
+                    t, f"{p}.mlp.dense_h_to_4h", dtype),
+                "dense_4h_to_h": _named_lin(
+                    t, f"{p}.mlp.dense_4h_to_h", dtype)},
+        }
+        if f"{p}.post_attention_layernorm.weight" in t:
+            blk["post_attention_layernorm"] = _named_ln(
+                t, f"{p}.post_attention_layernorm", dtype)
+        params["layers"].append(blk)
     return params

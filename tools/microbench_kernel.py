@@ -1,5 +1,11 @@
 """Microbenchmark the production fused decode+matmul kernel's internals.
 
+WARNING (2026-08-17): running this against the axon relay twice WEDGED the
+remote TPU worker (all subsequent jit calls hang until the worker recovers,
+~10+ min) with no output produced — suspect one of the variant kernels
+crashes the remote compile service. Do NOT run it while anything else needs
+the chip; debug variant-by-variant with generous timeouts.
+
 Ablates the in-kernel components to find what holds the kernel at ~65% of
 HBM peak (the decode VPU work, the 8 small per-plane dots, or the DMA):
 
