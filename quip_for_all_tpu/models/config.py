@@ -75,6 +75,25 @@ class ModelConfig:
                                               True),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
+        if model_type == "phi":
+            return cls(
+                arch="phi",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get(
+                    "num_key_value_heads",
+                    cfg["num_attention_heads"]) or
+                cfg["num_attention_heads"],
+                max_position_embeddings=cfg.get(
+                    "max_position_embeddings", 2048),
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                rotary_pct=cfg.get("partial_rotary_factor", 0.5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
         if model_type in ("falcon", "RefinedWeb", "RefinedWebModel"):
             if cfg.get("new_decoder_architecture", False):
                 raise ValueError("falcon new_decoder_architecture "

@@ -20,6 +20,9 @@ def get_arch(cfg: ModelConfig):
     if cfg.arch == "falcon":
         from . import falcon
         return falcon
+    if cfg.arch == "phi":
+        from . import phi
+        return phi
     from . import llama
     return llama
 
@@ -49,7 +52,7 @@ def embed(cfg: ModelConfig, params, ids, positions, dtype):
 def rope_tables(cfg: ModelConfig, positions):
     if cfg.arch in ("gpt2", "opt"):
         return None, None
-    if cfg.arch == "gpt_neox":
+    if cfg.arch in ("gpt_neox", "phi"):
         from . import gpt_neox
         return gpt_neox.rope_tables(cfg, positions)
     from . import llama

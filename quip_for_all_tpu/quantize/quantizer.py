@@ -91,6 +91,15 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             {"capture": "fc1", "layers": ["mlp.dense_h_to_4h"]},
             {"capture": "fc2", "layers": ["mlp.dense_4h_to_h"]},
         ]
+    if cfg.arch == "phi":
+        return [
+            {"capture": "qkv", "layers": ["self_attn.q_proj",
+                                          "self_attn.k_proj",
+                                          "self_attn.v_proj"]},
+            {"capture": "o", "layers": ["self_attn.dense"]},
+            {"capture": "fc1", "layers": ["mlp.fc1"]},
+            {"capture": "fc2", "layers": ["mlp.fc2"]},
+        ]
     if cfg.arch == "opt":
         return [
             {"capture": "qkv", "layers": ["self_attn.q_proj",
@@ -487,6 +496,12 @@ class QuipQuantizer:
                                  cfg.rms_norm_eps)
                 logits = h @ params["word_embeddings"]["weight"].astype(
                     h.dtype).T
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if cfg.arch == "phi":
+                from ..models import gpt2 as G
+                h = G.layer_norm(params["final_layernorm"],
+                                 jnp.asarray(x), cfg.rms_norm_eps)
+                logits = M.linear_apply(params["lm_head"], h)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),
                            cfg.rms_norm_eps)

@@ -126,6 +126,25 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
         with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
             json.dump(quant_config, f, indent=2)
         return
+    if cfg.arch == "phi":
+        hf_cfg = {
+            "model_type": "phi",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "layer_norm_eps": cfg.rms_norm_eps,
+            "rope_theta": cfg.rope_theta,
+            "partial_rotary_factor": cfg.rotary_pct,
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
     if cfg.arch == "falcon":
         hf_cfg = {
             "model_type": "falcon",
@@ -299,6 +318,9 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     if cfg.arch == "falcon":
         return cfg, _load_falcon(cfg, tensors, qlinear_names, qcfg,
                                  dtype), qcfg
+    if cfg.arch == "phi":
+        return cfg, _load_phi(cfg, tensors, qlinear_names, qcfg,
+                              dtype), qcfg
 
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
@@ -484,4 +506,27 @@ def _load_falcon(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
             blk["post_attention_layernorm"] = ln(
                 f"{p}.post_attention_layernorm")
         params["layers"].append(blk)
+    return params
+
+
+def _load_phi(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+              ) -> Dict[str, Any]:
+    linear_or_dense, ln = _loaders(tensors, qlinear_names, qcfg, dtype)
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jnp.asarray(
+            tensors["model.embed_tokens.weight"], dtype=dtype)},
+        "final_layernorm": ln("model.final_layernorm"),
+        "lm_head": linear_or_dense("lm_head"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "input_layernorm": ln(f"{p}.input_layernorm"),
+            "self_attn": {x: linear_or_dense(f"{p}.self_attn.{x}")
+                          for x in ("q_proj", "k_proj", "v_proj",
+                                    "dense")},
+            "mlp": {"fc1": linear_or_dense(f"{p}.mlp.fc1"),
+                    "fc2": linear_or_dense(f"{p}.mlp.fc2")},
+        })
     return params

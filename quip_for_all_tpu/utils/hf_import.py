@@ -51,6 +51,8 @@ def load_hf_model(path: str, dtype=jnp.float32
         return cfg, _opt_params(cfg, t, dtype)
     if cfg.arch == "falcon":
         return cfg, _falcon_params(cfg, t, dtype)
+    if cfg.arch == "phi":
+        return cfg, _phi_params(cfg, t, dtype)
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -253,4 +255,30 @@ def _falcon_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
             blk["post_attention_layernorm"] = _named_ln(
                 t, f"{p}.post_attention_layernorm", dtype)
         params["layers"].append(blk)
+    return params
+
+
+def _phi_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                ) -> Dict[str, Any]:
+    """HF PhiForCausalLM state dict -> our pytree."""
+    pre = "model." if "model.embed_tokens.weight" in t else ""
+    params: Dict[str, Any] = {
+        "embed_tokens": {"weight": jnp.asarray(np.asarray(
+            t[pre + "embed_tokens.weight"], dtype=np.float32),
+            dtype=dtype)},
+        "final_layernorm": _named_ln(t, pre + "final_layernorm", dtype),
+        "lm_head": _named_lin(t, "lm_head", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}layers.{i}"
+        params["layers"].append({
+            "input_layernorm": _named_ln(t, f"{p}.input_layernorm",
+                                         dtype),
+            "self_attn": {x: _named_lin(t, f"{p}.self_attn.{x}", dtype)
+                          for x in ("q_proj", "k_proj", "v_proj",
+                                    "dense")},
+            "mlp": {"fc1": _named_lin(t, f"{p}.mlp.fc1", dtype),
+                    "fc2": _named_lin(t, f"{p}.mlp.fc2", dtype)},
+        })
     return params

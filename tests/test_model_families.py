@@ -191,3 +191,49 @@ def test_falcon_quantize_generate_roundtrip(tmp_path):
     l2, _ = FA.model_apply(cfg2, lp, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_phi_forward_and_cached_decode():
+    from quip_for_all_tpu.models import phi as PH
+    cfg = ModelConfig(arch="phi", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, rotary_pct=0.4)
+    _check_cached_decode(cfg, PH, PH.init_phi_params(cfg, seed=0))
+
+
+def test_phi_quantize_generate_roundtrip(tmp_path):
+    from quip_for_all_tpu.models import phi as PH
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = ModelConfig(arch="phi", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, rotary_pct=0.4)
+    params = PH.init_phi_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    blk = qparams["layers"][0]
+    assert isinstance(blk["self_attn"]["dense"], QuantLinearParams)
+    assert isinstance(blk["mlp"]["fc1"], QuantLinearParams)
+
+    eval_toks = synthetic_tokens(8, 24, cfg.vocab_size, seed=2)
+    ppl_q = perplexity(cfg, qparams, eval_toks, batch_size=4)
+    ppl_f = perplexity(cfg, params, eval_toks, batch_size=4)
+    assert np.isfinite(ppl_q) and ppl_q < ppl_f * 3.0
+
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+
+    d = str(tmp_path / "ph")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.arch == "phi" and abs(cfg2.rotary_pct - 0.4) < 1e-9
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = PH.model_apply(cfg, qparams, ids)
+    l2, _ = PH.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
