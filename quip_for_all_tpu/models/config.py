@@ -138,6 +138,24 @@ class ModelConfig:
                 rms_norm_eps=1e-5,
                 tie_word_embeddings=True,
             )
+        if model_type in ("baichuan", "baichuan2"):
+            # rope variants (7B); the 13B alibi variant is not supported
+            return cls(
+                arch="baichuan",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg.get("num_key_value_heads",
+                                            cfg["num_attention_heads"]),
+                max_position_embeddings=cfg.get(
+                    "max_position_embeddings",
+                    cfg.get("model_max_length", 4096)),
+                rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
         arch = "mixtral" if model_type == "mixtral" else "llama"
         return cls(
             arch=arch,

@@ -95,6 +95,9 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
         from ..nn.qlinear import fused_apply
         q, k, v = fused_apply(attn_p["qkv_proj"], x, **{
             k_: v_ for k_, v_ in linear_kw.items() if k_ != "training"})
+    elif "W_pack" in attn_p:   # baichuan fused qkv (rows [q; k; v])
+        qkv = linear_apply(attn_p["W_pack"], x, **linear_kw)
+        q, k, v = jnp.split(qkv, [H * hd, H * hd + KV * hd], axis=-1)
     else:
         q = linear_apply(attn_p["q_proj"], x, **linear_kw)
         k = linear_apply(attn_p["k_proj"], x, **linear_kw)
@@ -369,15 +372,20 @@ def init_llama_params(cfg: ModelConfig, seed: int = 0,
         return d
 
     def block():
-        blk = {
-            "input_layernorm": {"weight": jnp.ones((D,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((D,), dtype)},
-            "self_attn": {
+        if cfg.arch == "baichuan":
+            attn = {"W_pack": lin((H + 2 * KV) * hd, D),
+                    "o_proj": lin(D, H * hd)}
+        else:
+            attn = {
                 "q_proj": lin(H * hd, D, cfg.attention_bias),
                 "k_proj": lin(KV * hd, D, cfg.attention_bias),
                 "v_proj": lin(KV * hd, D, cfg.attention_bias),
                 "o_proj": lin(D, H * hd),
-            },
+            }
+        blk = {
+            "input_layernorm": {"weight": jnp.ones((D,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((D,), dtype)},
+            "self_attn": attn,
         }
         if cfg.arch == "mixtral":
             blk["block_sparse_moe"] = {

@@ -124,6 +124,14 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             groups.append({"capture": f"expert{e}_down",
                            "layers": [f"block_sparse_moe.experts.{e}.w2"]})
         return groups
+    if cfg.arch == "baichuan":
+        return [
+            {"capture": "qkv", "layers": ["self_attn.W_pack"]},
+            {"capture": "o", "layers": ["self_attn.o_proj"]},
+            {"capture": "gateup", "layers": ["mlp.gate_proj",
+                                             "mlp.up_proj"]},
+            {"capture": "down", "layers": ["mlp.down_proj"]},
+        ]
     return [
         {"capture": "qkv", "layers": ["self_attn.q_proj", "self_attn.k_proj",
                                       "self_attn.v_proj"]},

@@ -183,7 +183,8 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
             json.dump(quant_config, f, indent=2)
         return
     hf_cfg = {
-        "model_type": "mixtral" if cfg.arch == "mixtral" else "llama",
+        "model_type": ("mixtral" if cfg.arch == "mixtral" else
+                       "baichuan" if cfg.arch == "baichuan" else "llama"),
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,
@@ -350,7 +351,8 @@ def load_quantized(save_dir: str, dtype=jnp.float32
                 dtype=dtype)},
             "self_attn": {
                 x: linear_or_dense(f"{p}.self_attn.{x}")
-                for x in ("q_proj", "k_proj", "v_proj", "o_proj")
+                for x in (("W_pack", "o_proj") if cfg.arch == "baichuan"
+                          else ("q_proj", "k_proj", "v_proj", "o_proj"))
             },
         }
         if cfg.arch == "mixtral":

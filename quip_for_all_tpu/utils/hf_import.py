@@ -85,8 +85,10 @@ def load_hf_model(path: str, dtype=jnp.float32
                 np.asarray(t[f"{p}.post_attention_layernorm.weight"],
                            dtype=np.float32), dtype=dtype)},
             "self_attn": {x: lin(f"{p}.self_attn.{x}")
-                          for x in ("q_proj", "k_proj", "v_proj",
-                                    "o_proj")},
+                          for x in (("W_pack", "o_proj")
+                                    if cfg.arch == "baichuan" else
+                                    ("q_proj", "k_proj", "v_proj",
+                                     "o_proj"))},
         }
         if cfg.arch == "mixtral":
             blk["block_sparse_moe"] = {

@@ -237,3 +237,37 @@ def test_phi_quantize_generate_roundtrip(tmp_path):
     l2, _ = PH.model_apply(cfg2, lp, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_baichuan_quantize_generate_roundtrip(tmp_path):
+    from quip_for_all_tpu.models import llama as L
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = ModelConfig(arch="baichuan", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128)
+    params = L.init_llama_params(cfg, seed=0)
+    assert "W_pack" in params["layers"][0]["self_attn"]
+    _check_cached_decode(cfg, L, params)
+
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    assert isinstance(qparams["layers"][0]["self_attn"]["W_pack"],
+                      QuantLinearParams)
+
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+
+    d = str(tmp_path / "bc")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.arch == "baichuan"
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = L.model_apply(cfg, qparams, ids)
+    l2, _ = L.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
