@@ -75,6 +75,22 @@ class ModelConfig:
                                               True),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
+        if model_type == "gptj":
+            D = cfg["n_embd"]
+            hd = D // cfg["n_head"]
+            return cls(
+                arch="gptj",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=D,
+                intermediate_size=cfg.get("n_inner") or 4 * D,
+                num_hidden_layers=cfg["n_layer"],
+                num_attention_heads=cfg["n_head"],
+                num_key_value_heads=cfg["n_head"],
+                max_position_embeddings=cfg.get("n_positions", 2048),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                rotary_pct=cfg.get("rotary_dim", hd) / hd,
+                tie_word_embeddings=False,
+            )
         if model_type == "phi":
             return cls(
                 arch="phi",

@@ -23,6 +23,9 @@ def get_arch(cfg: ModelConfig):
     if cfg.arch == "phi":
         from . import phi
         return phi
+    if cfg.arch == "gptj":
+        from . import gptj
+        return gptj
     from . import llama
     return llama
 
@@ -35,6 +38,9 @@ def embed(cfg: ModelConfig, params, ids, positions, dtype):
                             axis=0).astype(dtype)
     if cfg.arch == "gpt_neox":
         return jnp.take(params["embed_in"]["weight"], ids,
+                        axis=0).astype(dtype)
+    if cfg.arch == "gptj":
+        return jnp.take(params["wte"]["weight"], ids,
                         axis=0).astype(dtype)
     if cfg.arch == "opt":
         from .opt import POS_OFFSET
@@ -55,5 +61,8 @@ def rope_tables(cfg: ModelConfig, positions):
     if cfg.arch in ("gpt_neox", "phi"):
         from . import gpt_neox
         return gpt_neox.rope_tables(cfg, positions)
+    if cfg.arch == "gptj":
+        from . import gptj
+        return gptj.rope_tables(cfg, positions)
     from . import llama
     return llama.rope_tables(cfg, positions)

@@ -29,10 +29,12 @@ _COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
                  "w1", "w3", "lm_head",
                  "query_key_value", "dense_h_to_4h",       # gpt_neox
                  "fc1",                                    # opt
-                 "W_pack")                                 # baichuan
+                 "W_pack",                                 # baichuan
+                 "fc_in")                                  # gptj
 _ROW_PARALLEL = ("o_proj", "down_proj", "w2",
                  "dense", "dense_4h_to_h",                 # gpt_neox
-                 "out_proj", "fc2")                        # opt
+                 "out_proj", "fc2",                        # opt
+                 "fc_out")                                 # gptj
 
 
 def role_of(name: str) -> str:

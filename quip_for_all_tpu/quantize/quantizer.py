@@ -100,6 +100,14 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             {"capture": "fc1", "layers": ["mlp.fc1"]},
             {"capture": "fc2", "layers": ["mlp.fc2"]},
         ]
+    if cfg.arch == "gptj":
+        return [
+            {"capture": "qkv", "layers": ["attn.q_proj", "attn.k_proj",
+                                          "attn.v_proj"]},
+            {"capture": "o", "layers": ["attn.out_proj"]},
+            {"capture": "fc1", "layers": ["mlp.fc_in"]},
+            {"capture": "fc2", "layers": ["mlp.fc_out"]},
+        ]
     if cfg.arch == "opt":
         return [
             {"capture": "qkv", "layers": ["self_attn.q_proj",
@@ -505,10 +513,10 @@ class QuipQuantizer:
                 logits = h @ params["word_embeddings"]["weight"].astype(
                     h.dtype).T
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if cfg.arch == "phi":
+            if cfg.arch in ("phi", "gptj"):
                 from ..models import gpt2 as G
-                h = G.layer_norm(params["final_layernorm"],
-                                 jnp.asarray(x), cfg.rms_norm_eps)
+                nrm = params.get("final_layernorm") or params["ln_f"]
+                h = G.layer_norm(nrm, jnp.asarray(x), cfg.rms_norm_eps)
                 logits = M.linear_apply(params["lm_head"], h)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),

@@ -126,6 +126,24 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
         with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
             json.dump(quant_config, f, indent=2)
         return
+    if cfg.arch == "gptj":
+        hf_cfg = {
+            "model_type": "gptj",
+            "vocab_size": cfg.vocab_size,
+            "n_embd": cfg.hidden_size,
+            "n_inner": cfg.intermediate_size,
+            "n_layer": cfg.num_hidden_layers,
+            "n_head": cfg.num_attention_heads,
+            "n_positions": cfg.max_position_embeddings,
+            "layer_norm_epsilon": cfg.rms_norm_eps,
+            "rotary_dim": int(cfg.rotary_pct * cfg.head_dim),
+            "quantization_config": quant_config,
+        }
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg, f, indent=2)
+        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
+            json.dump(quant_config, f, indent=2)
+        return
     if cfg.arch == "phi":
         hf_cfg = {
             "model_type": "phi",
@@ -322,6 +340,9 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     if cfg.arch == "phi":
         return cfg, _load_phi(cfg, tensors, qlinear_names, qcfg,
                               dtype), qcfg
+    if cfg.arch == "gptj":
+        return cfg, _load_gptj(cfg, tensors, qlinear_names, qcfg,
+                               dtype), qcfg
 
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
@@ -530,5 +551,27 @@ def _load_phi(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
                                     "dense")},
             "mlp": {"fc1": linear_or_dense(f"{p}.mlp.fc1"),
                     "fc2": linear_or_dense(f"{p}.mlp.fc2")},
+        })
+    return params
+
+
+def _load_gptj(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+               ) -> Dict[str, Any]:
+    linear_or_dense, ln = _loaders(tensors, qlinear_names, qcfg, dtype)
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(tensors["model.wte.weight"],
+                                      dtype=dtype)},
+        "ln_f": ln("model.ln_f"),
+        "lm_head": linear_or_dense("lm_head"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "ln_1": ln(f"{p}.ln_1"),
+            "attn": {x: linear_or_dense(f"{p}.attn.{x}")
+                     for x in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "mlp": {"fc_in": linear_or_dense(f"{p}.mlp.fc_in"),
+                    "fc_out": linear_or_dense(f"{p}.mlp.fc_out")},
         })
     return params

@@ -53,6 +53,8 @@ def load_hf_model(path: str, dtype=jnp.float32
         return cfg, _falcon_params(cfg, t, dtype)
     if cfg.arch == "phi":
         return cfg, _phi_params(cfg, t, dtype)
+    if cfg.arch == "gptj":
+        return cfg, _gptj_params(cfg, t, dtype)
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -282,5 +284,28 @@ def _phi_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
                                     "dense")},
             "mlp": {"fc1": _named_lin(t, f"{p}.mlp.fc1", dtype),
                     "fc2": _named_lin(t, f"{p}.mlp.fc2", dtype)},
+        })
+    return params
+
+
+def _gptj_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                 ) -> Dict[str, Any]:
+    """HF GPTJForCausalLM state dict -> our pytree."""
+    pre = "transformer." if "transformer.wte.weight" in t else ""
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(np.asarray(
+            t[pre + "wte.weight"], dtype=np.float32), dtype=dtype)},
+        "ln_f": _named_ln(t, pre + "ln_f", dtype),
+        "lm_head": _named_lin(t, "lm_head", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}h.{i}"
+        params["layers"].append({
+            "ln_1": _named_ln(t, f"{p}.ln_1", dtype),
+            "attn": {x: _named_lin(t, f"{p}.attn.{x}", dtype)
+                     for x in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "mlp": {"fc_in": _named_lin(t, f"{p}.mlp.fc_in", dtype),
+                    "fc_out": _named_lin(t, f"{p}.mlp.fc_out", dtype)},
         })
     return params

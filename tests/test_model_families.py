@@ -271,3 +271,74 @@ def test_baichuan_quantize_generate_roundtrip(tmp_path):
     l2, _ = L.model_apply(cfg2, lp, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gptj_forward_and_cached_decode():
+    from quip_for_all_tpu.models import gptj as GJ
+    cfg = ModelConfig(arch="gptj", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, rotary_pct=0.5)
+    _check_cached_decode(cfg, GJ, GJ.init_gptj_params(cfg, seed=0))
+
+
+def test_gptj_rope_matches_hf_reference():
+    """Interleaved ('rotate every two') rope against a literal numpy
+    transcription of HF GPTJ's apply_rotary_pos_emb."""
+    from quip_for_all_tpu.models import gptj as GJ
+    cfg = ModelConfig(arch="gptj", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=64, rotary_pct=0.5)
+    rng = np.random.default_rng(0)
+    B, S, H, hd = 1, 5, 4, 16
+    rot = 8
+    q = rng.standard_normal((B, S, H, hd)).astype(np.float32)
+    pos = np.arange(S)[None, :]
+    cos, sin = GJ.rope_tables(cfg, jnp.asarray(pos))
+    out, _ = GJ._apply_interleaved_rope(jnp.asarray(q), jnp.asarray(q),
+                                        cos, sin, rot)
+    # HF-style reference
+    inv = 1.0 / (10000.0 ** (np.arange(0, rot, 2) / rot))
+    ang = pos[..., None] * inv                    # (1, S, rot/2)
+    sin_h = np.repeat(np.sin(ang), 2, axis=-1)[:, :, None, :]
+    cos_h = np.repeat(np.cos(ang), 2, axis=-1)[:, :, None, :]
+    qr = q[..., :rot]
+    rot_q = np.stack([-qr[..., 1::2], qr[..., ::2]], axis=-1
+                     ).reshape(qr.shape)
+    expect = np.concatenate([qr * cos_h + rot_q * sin_h, q[..., rot:]],
+                            axis=-1)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_gptj_quantize_generate_roundtrip(tmp_path):
+    from quip_for_all_tpu.models import gptj as GJ
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = ModelConfig(arch="gptj", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, rotary_pct=0.5)
+    params = GJ.init_gptj_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    blk = qparams["layers"][0]
+    assert isinstance(blk["attn"]["out_proj"], QuantLinearParams)
+    assert isinstance(blk["mlp"]["fc_in"], QuantLinearParams)
+
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+
+    d = str(tmp_path / "gj")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.arch == "gptj" and abs(cfg2.rotary_pct - 0.5) < 1e-9
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = GJ.model_apply(cfg, qparams, ids)
+    l2, _ = GJ.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
