@@ -27,11 +27,36 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..ops.dequant_xla import decode_weights
 from ..ops.qtensor import QuantizedTensor
 from ..ops.quant_matmul import quant_matmul
 from ..transforms.incoherence import (HadSpec, hadamard_transform,
-                                      matmul_hadU, matmul_hadUt)
+                                      matmul_hadU, matmul_hadUt,
+                                      matmul_hadUt_grouped)
+
+# opt-in (round-2 measurement pending): emit the left transform directly
+# in the kernel's grouped-permuted layout, skipping the explicit
+# reshape/transpose x-permutation before the Pallas call
+_GROUPED_PROLOGUE = os.environ.get("QFA_GROUPED_PROLOGUE", "0") == "1"
+
+
+def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype):
+    """Try the fused grouped-layout path; returns None to fall back."""
+    if not _GROUPED_PROLOGUE or x.shape[0] >= 32:
+        return None
+    try:
+        from ..ops.dequant_pallas import fused_quant_matmul_pre, supports
+        if not supports(qt):
+            return None
+    except Exception:
+        return None
+    xg = matmul_hadUt_grouped(x, spec, qt.planes["w0"].shape[1],
+                              scale=scale)
+    if xg is None:
+        return None
+    return fused_quant_matmul_pre(xg.astype(compute_dtype), qt)
 
 
 @jax.tree_util.register_dataclass
@@ -199,9 +224,14 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
     x_dtype = x.dtype
     if f.SU is not None:
         x = x * f.SU.astype(x_dtype)
-    x = matmul_hadUt(x, f.left_spec)         # unscaled; wscale per segment
-    x = x.astype(compute_dtype)
-    big = quant_matmul(x, f.qweight, impl=matmul_impl).astype(x_dtype)
+    big = (_grouped_prologue_matmul(x, f.left_spec, f.qweight, None,
+                                    compute_dtype)
+           if matmul_impl in ("auto", "pallas") else None)
+    if big is None:
+        x = matmul_hadUt(x, f.left_spec)     # unscaled; wscale per segment
+        x = x.astype(compute_dtype)
+        big = quant_matmul(x, f.qweight, impl=matmul_impl)
+    big = big.astype(x_dtype)
     if f.right_uniform:
         # batched epilogue: one scale, one batched kron transform, one
         # (optional) stacked-hadK dot for ALL segments together
@@ -262,9 +292,13 @@ def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
             x = jnp.pad(x, [(0, 0), (0, p.q_in - x.shape[-1])])
         out = (x @ W.astype(x_dtype))[:, : p.out_features]
     else:
-        x = matmul_hadUt(x, p.left_spec, scale=p.wscale_float)
-        x = x.astype(compute_dtype)
-        out = quant_matmul(x, p.qweight, impl=matmul_impl)
+        out = (_grouped_prologue_matmul(x, p.left_spec, p.qweight,
+                                        p.wscale_float, compute_dtype)
+               if matmul_impl in ("auto", "pallas") else None)
+        if out is None:
+            x = matmul_hadUt(x, p.left_spec, scale=p.wscale_float)
+            x = x.astype(compute_dtype)
+            out = quant_matmul(x, p.qweight, impl=matmul_impl)
         out = out.astype(x_dtype)
         if p.per_channel:
             out = out * p.Wscale.astype(x_dtype)

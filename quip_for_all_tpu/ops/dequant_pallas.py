@@ -156,10 +156,21 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     if Gp != G:
         x_perm = jnp.pad(x_perm, ((0, 0), (0, 0), (0, Gp - G)))
     x_perm = x_perm.reshape(m, 8 * Gp)
+    return fused_quant_matmul_pre(x_perm, qt)
+
+
+def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor
+                           ) -> jax.Array:
+    """Like fused_quant_matmul but with x ALREADY in grouped-permuted
+    layout (m, 8*Gp) — produced for free by the transform via
+    transforms.incoherence.matmul_hadUt_grouped."""
+    m = x_perm.shape[0]
+    assert x_perm.shape[1] == 8 * qt.planes["w0"].shape[1], x_perm.shape
     mp = max(8, -(-m // 8) * 8)
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
     out = _fused_call(x_perm, planes, qt.codebook_id, qt.q_out,
-                      float(qt.opt_resid_scale), np.dtype(x.dtype).name)
+                      float(qt.opt_resid_scale),
+                      np.dtype(x_perm.dtype).name)
     return out[:m]

@@ -183,3 +183,69 @@ def full_U(spec: HadSpec) -> np.ndarray:
     hadK = spec.hadK if spec.hadK is not None else np.ones((1, 1),
                                                            dtype=np.float32)
     return np.kron(hadK, H) / math.sqrt(spec.padN // spec.K)
+
+
+def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
+                         scale: Optional[float | jax.Array] = None
+                         ) -> Optional[jax.Array]:
+    """``matmul_hadUt`` emitted directly in the Pallas kernel's grouped-
+    permuted layout: returns (m, 8*Gp) with
+
+        out[:, i*Gp + g] = (X @ U)[:, 8*g + i]   for g < G = padN // 8
+        out[:, i*Gp + g] = 0                     for g >= G (plane padding)
+
+    so the fused decode+matmul kernel (ops/dequant_pallas.py) can consume
+    it without the separate reshape/transpose x-permutation.
+
+    The permutation is FREE inside the transform: the Sylvester factor
+    H_B satisfies H_B[pi(x), pi(y)] = H_B[x, y] for any permutation pi of
+    bit positions (popcount(x & y) is bit-permutation invariant), so
+    re-ordering the OUTPUT coefficients of the B-axis contraction is just
+    a row permutation of the constant H_B matrix, precomputed on host.
+
+    Returns None when the shape doesn't admit the fused form
+    (power-of-2 part < 8); callers fall back to matmul_hadUt + an
+    explicit permutation.
+    """
+    n = X.shape[-1]
+    s, K = spec.shards, spec.K
+    L = spec.padN // s
+    M = L // K
+    if M < 8 or (M & (M - 1)) != 0 or spec.padN % 8 != 0:
+        return None
+    if n != spec.padN:
+        X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, spec.padN - n)])
+    assert X.ndim == 2, "grouped prologue expects (m, n) input"
+    m = X.shape[0]
+    G = spec.padN // 8
+    e = M.bit_length() - 1
+    eb = max(3, e // 2)
+    ea = e - eb
+    A, B = 1 << ea, 1 << eb
+    dt = X.dtype
+    had_scale = 1.0 / math.sqrt(M)
+    if scale is not None:
+        had_scale = had_scale * scale
+    # row-permuted Sylvester factor: output lane l = i*(B/8) + c carries
+    # transformed coefficient b' = c*8 + i
+    HB = sylvester(eb)
+    C = B // 8
+    # sigma maps output lane l = i*C + c to coefficient b' = c*8 + i
+    ii, cc = np.divmod(np.arange(B), C)
+    sigma = cc * 8 + ii
+    HBp = jnp.asarray(HB[sigma] * had_scale, dtype=dt)     # (B, B) rows
+    Ha = jnp.asarray(sylvester(ea), dtype=dt)
+    Y = X.reshape(m, s, K, A, B)
+    if ea > 0:
+        Y = jnp.einsum("mskab,xa->mskxb", Y, Ha)
+    Y = jnp.einsum("mskxb,lb->mskxl", Y, HBp)
+    if K > 1:
+        hadK = jnp.asarray(spec.hadK, dtype=dt)
+        # hadUt: contract with hadK (not transposed): out_j = sum_k Y_k H_kj
+        Y = jnp.einsum("mskxl,kj->msjxl", Y, hadK)
+    # split l = (i, c), move i out: (m, s, K, A, 8, C) -> (m, 8, s*K*A*C)
+    Y = Y.reshape(m, s, K, A, 8, C)
+    Y = jnp.moveaxis(Y, 4, 1).reshape(m, 8, G)
+    if Gp != G:
+        Y = jnp.pad(Y, ((0, 0), (0, 0), (0, Gp - G)))
+    return Y.reshape(m, 8 * Gp)
