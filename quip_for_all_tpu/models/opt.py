@@ -24,6 +24,7 @@ import numpy as np
 from .config import ModelConfig
 from .gpt2 import layer_norm
 from .llama import causal_mask, cache_mask, linear_apply
+from .common import sdpa_cache_layout, update_kv_cache
 
 Params = Dict[str, Any]
 
@@ -40,35 +41,9 @@ def attention(cfg: ModelConfig, attn_p: Params, x, kv_cache,
     k = linear_apply(attn_p["k_proj"], x, **linear_kw).reshape(B, S, H, hd)
     v = linear_apply(attn_p["v_proj"], x, **linear_kw).reshape(B, S, H, hd)
 
-    if kv_cache is not None:
-        ck, cv = kv_cache
-        cp = jnp.asarray(cache_position)
-        if cp.ndim == 0:
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k.astype(ck.dtype), cp, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v.astype(cv.dtype), cp, axis=1)
-        else:
-            upd = jax.vmap(
-                lambda c, kk, p: jax.lax.dynamic_update_slice_in_dim(
-                    c, kk, p, axis=0))
-            ck = upd(ck, k.astype(ck.dtype), cp)
-            cv = upd(cv, v.astype(cv.dtype), cp)
-        k, v = ck, cv
-        new_cache = (ck, cv)
-    else:
-        new_cache = None
+    k, v, new_cache = update_kv_cache(kv_cache, k, v, cache_position)
 
-    qt = q.transpose(0, 2, 1, 3)
-    scores = jax.lax.dot_general(
-        qt, k, (((3,), (3,)), ((0, 1), (0, 2))),
-        preferred_element_type=jnp.float32) / np.sqrt(hd)
-    scores = scores + attn_mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jax.lax.dot_general(
-        probs, v, (((3,), (1,)), ((0, 1), (0, 2))),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
     if captures is not None:
         captures["o"] = ctx
     out = linear_apply(attn_p["out_proj"], ctx, **linear_kw)
