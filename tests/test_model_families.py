@@ -342,3 +342,18 @@ def test_gptj_quantize_generate_roundtrip(tmp_path):
     l2, _ = GJ.model_apply(cfg2, lp, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_neox_serving_engine():
+    from quip_for_all_tpu.runtime.serving import ServingEngine
+    cfg = _tiny_neox()
+    params = NX.init_gpt_neox_params(cfg, seed=0)
+    calib = synthetic_tokens(8, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    eng = ServingEngine(cfg, qparams, max_batch=2, cache_len=32,
+                        dtype=jnp.float32, prefill_buckets=(8,))
+    rid = eng.add_request(np.array([1, 2, 3]), max_new_tokens=4)
+    res = eng.run(max_steps=50)
+    assert res[rid].shape[0] == 7
