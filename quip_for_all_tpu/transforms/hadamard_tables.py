@@ -1,21 +1,31 @@
-"""Hadamard matrix generation: Paley I/II over GF(p^k) + Sylvester doubling.
+"""Hadamard matrix tables: the reference's exact matrices + Paley generation.
 
-Replaces the reference's shipped binary asset ``hadamard.safetensors``
-(34 matrices of orders {1,2,4} ∪ {12,20,...,252}, loaded at
-``/root/reference/quant.py:8``) with on-the-fly construction. Orders n ≡ 4
-(mod 8) are built via Paley I (n = q+1, q ≡ 3 mod 4 a prime power) or
-Paley II (n = 2(q+1), q ≡ 1 mod 4 a prime power). A handful of orders in
-range (92, 116, 156, 172, 188, 236) need Williamson-type constructions and
-are not generated; callers fall back to a persisted random orthogonal factor
-for those (see transforms/incoherence.py), which is quality-equivalent.
+The reference ships a binary asset ``hadamard.safetensors`` (34 matrices of
+orders {1,2,4} ∪ {12,20,...,252}, loaded at ``/root/reference/quant.py:8``)
+and uses those EXACT matrices for the ``use_rand=False`` incoherence
+transform; since the factors are recomputed from the table at checkpoint
+load (not stored), bit-identical tables are required to decode
+reference-produced ``use_rand=False`` checkpoints. We embed the same 34
+matrices as packed sign bits (``_hadamard_asset.npz``, ~36 KB; bit = 1 means
+−1) — ``hadamard_matrix`` serves them and is the interop path.
+
+``generated_hadamard_matrix`` additionally constructs Hadamard matrices from
+scratch — Paley I (n = q+1, q ≡ 3 mod 4 a prime power), Paley II
+(n = 2(q+1), q ≡ 1 mod 4 a prime power), and Sylvester doubling — used only
+as a fallback for orders outside the table (> 252) and as an independent
+cross-check in tests. Orders {92, 116, 156, 172, 188, 236} need
+Williamson-type constructions and are only available from the table.
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from itertools import product
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+_ASSET_PATH = os.path.join(os.path.dirname(__file__), "_hadamard_asset.npz")
 
 
 def _factor_prime_power(q: int) -> Optional[Tuple[int, int]]:
@@ -144,8 +154,38 @@ def _paley_2(q: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _asset_tables() -> Dict[int, np.ndarray]:
+    """The reference's hadamard.safetensors matrices, from packed sign bits."""
+    if not os.path.isfile(_ASSET_PATH):
+        return {}
+    out = {}
+    with np.load(_ASSET_PATH) as z:
+        for key in z.files:
+            n = int(key[1:])
+            bits = np.unpackbits(z[key])[: n * n].reshape(n, n)
+            out[n] = (1.0 - 2.0 * bits).astype(np.float64)
+    return out
+
+
+@lru_cache(maxsize=None)
 def hadamard_matrix(n: int) -> Optional[np.ndarray]:
-    """A ±1 Hadamard matrix of order n, or None if we cannot construct one."""
+    """A ±1 Hadamard matrix of order n, or None if unavailable.
+
+    Returns the reference-identical table matrix when the order is in the
+    embedded asset (required for ``use_rand=False`` checkpoint interop,
+    ``/root/reference/quant.py:36-39``), else falls back to an
+    independently generated one.
+    """
+    tbl = _asset_tables().get(n)
+    if tbl is not None:
+        return tbl
+    return generated_hadamard_matrix(n)
+
+
+@lru_cache(maxsize=None)
+def generated_hadamard_matrix(n: int) -> Optional[np.ndarray]:
+    """Construct a ±1 Hadamard matrix of order n from scratch (Paley I/II +
+    Sylvester doubling), or None if no construction applies."""
     if n == 1:
         return np.ones((1, 1))
     if n == 2:
@@ -161,7 +201,7 @@ def hadamard_matrix(n: int) -> Optional[np.ndarray]:
         if fp is not None and q % 4 == 1:
             return _paley_2(q)
     if n % 2 == 0:
-        half = hadamard_matrix(n // 2)
+        half = generated_hadamard_matrix(n // 2)
         if half is not None:
             return np.kron(np.array([[1.0, 1.0], [1.0, -1.0]]), half)
     return None

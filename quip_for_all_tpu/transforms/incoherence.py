@@ -101,14 +101,18 @@ def get_hadK(n: int, use_rand: bool = True,
     if use_rand:
         rng = rng if rng is not None else np.random.default_rng()
         return HadSpec(random_orthogonal(base, rng), base, n)
-    # deterministic path: Hadamard-table factor of order base*4 needs exp>=2
+    # deterministic path: Hadamard-table factor of order base*4 needs exp>=2.
+    # The table matrices are bit-identical to the reference asset (see
+    # transforms/hadamard_tables.py) — mandatory, because use_rand=False
+    # checkpoints recompute the factor at load time, so any other valid
+    # Hadamard matrix would silently decode garbage from reference
+    # checkpoints.
     tbl = hadamard_matrix(base * 4) if exp >= 2 else None
     if tbl is None:
-        # Reference pads to the next power of two here (quant.py:36-37).
-        # We instead fall back to a persisted random orthogonal factor —
-        # quality-equivalent incoherence with no padding waste.
-        rng = rng if rng is not None else np.random.default_rng(n)
-        return HadSpec(random_orthogonal(base, rng), base, n)
+        # exact reference behavior (quant.py:36-37): pad to the next power
+        # of two with no leading factor — never substitute a different
+        # orthogonal matrix
+        return HadSpec(None, 1, next_power_of_2(n))
     return HadSpec((tbl / math.sqrt(base * 4)).astype(np.float32),
                    base * 4, n)
 

@@ -11,29 +11,68 @@ import pytest
 import jax.numpy as jnp
 
 from quip_for_all_tpu.transforms.hadamard_tables import (
-    available, hadamard_matrix)
+    available, generated_hadamard_matrix, hadamard_matrix)
 from quip_for_all_tpu.transforms.incoherence import (
     HadSpec, full_U, get_hadK, hadamard_transform, matmul_hadU, matmul_hadUt,
-    sylvester)
+    next_power_of_2, sylvester)
 
 REF = "/root/reference"
 HAS_REF = os.path.isfile(os.path.join(REF, "quant.py"))
 
-KNOWN_GAPS = {92, 116, 156, 172, 188, 236}
+# orders needing Williamson-type constructions: only served from the
+# embedded table, not generated
+GENERATION_GAPS = {92, 116, 156, 172, 188, 236}
+
+
+def test_all_reference_orders_available():
+    """Every order the reference asset ships exists and is a valid H."""
+    for n in [1, 2, 4] + list(range(12, 253, 8)):
+        H = hadamard_matrix(n)
+        assert H is not None, f"order {n} missing"
+        assert np.all(np.abs(H) == 1)
+        assert np.allclose(H @ H.T, n * np.eye(n))
 
 
 def test_generated_hadamard_orders():
     covered = []
     for n in range(12, 253, 8):
-        H = hadamard_matrix(n)
+        H = generated_hadamard_matrix(n)
         if H is None:
-            assert n in KNOWN_GAPS, f"order {n} unexpectedly missing"
+            assert n in GENERATION_GAPS, f"order {n} unexpectedly missing"
             continue
         covered.append(n)
         assert np.all(np.abs(H) == 1)
         assert np.allclose(H @ H.T, n * np.eye(n))
-    # everything except the known Williamson-only orders is generated
-    assert len(covered) == 31 - len(KNOWN_GAPS)
+    assert len(covered) == 31 - len(GENERATION_GAPS)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_oracle_hadamard_asset_bit_identical():
+    """hadamard_matrix reproduces the reference asset EXACTLY for every
+    order it ships — required for use_rand=False checkpoint interop
+    (the factor is recomputed from the table at load, quant.py:36-39)."""
+    from safetensors import safe_open
+    with safe_open(os.path.join(REF, "hadamard.safetensors"), "np") as f:
+        for key in f.keys():
+            n = int(key)
+            ref = f.get_tensor(key)
+            ours = hadamard_matrix(n)
+            assert ours is not None, f"order {n} missing"
+            assert np.array_equal(ours.astype(np.float32), ref), \
+                f"order {n} differs from reference asset"
+
+
+def test_use_rand_false_pads_like_reference():
+    """Orders outside the table pad to the next power of two with K=1 —
+    the reference's exact fallback (quant.py:34-37), never a silent
+    orthogonal substitution."""
+    for n in [372 * 4, 3, 6]:  # base*4 > 252; exp < 2 cases
+        spec = get_hadK(n, use_rand=False)
+        assert spec.hadK is None and spec.K == 1
+        assert spec.padN == next_power_of_2(n)
+    # in-table order: exact factor, no padding
+    spec = get_hadK(172 * 64, use_rand=False)
+    assert spec.K == 172 and spec.padN == 172 * 64
 
 
 @pytest.mark.parametrize("e", [0, 1, 3, 5, 8])
