@@ -3,10 +3,19 @@
 
 out(m, q_out) = x(m, q_in) @ decode(codes)^T with dense weights never
 touching HBM: per q_out tile, the int32 word planes stream HBM->VMEM,
-decode runs as pure VPU arithmetic (shifts/masks/converts — the arithmetic
-word format of ops/qtensor.py; hardware microbenchmarks showed Mosaic
-gathers sustain only ~1/3.4 cycles while VPU arithmetic issues ~4 ops/cycle,
-so tables lose), and 8 position-plane MXU matmuls accumulate the output.
+decode runs as pure VPU arithmetic (the affine nibble format of
+ops/qtensor.py; hardware microbenchmarks showed Mosaic gathers sustain only
+~1/3.4 cycles while VPU arithmetic issues ~4 ops/cycle, so tables lose),
+and 8 position-plane MXU matmuls per plane set accumulate the output.
+
+The affine format makes the per-nibble decode exactly {shift, mask,
+convert} (i=0 needs no shift, i=7 no mask): the static alpha scales fold
+into one per-tile epilogue multiply of the (m, TN) accumulator, and the
+static beta offsets fold into ``beta_total * rowsum(x)`` — a rank-1
+correction instead of a per-element offset add. Residual codebooks
+(E8P12RVQ3B/4B) are additional plane sets sharing the same x, each with
+its own alpha/beta, so their decode costs exactly one more
+{shift,mask,convert} sweep + dots instead of per-element combine math.
 
 Layout trick (TPU-native, replaces the CUDA kernels' warp-level byte
 shuffles): decoding a (TN, G) tile of words naturally produces one (TN, G)
@@ -32,69 +41,37 @@ from .qtensor import QuantizedTensor
 _INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
 
 
-def _u32(x):
-    return pltpu.bitcast(x, jnp.uint32)
+def _nibble(w_u32, i: int):
+    """i-th nibble of a uint32 word vector, minimal-op form."""
+    if i == 0:
+        return w_u32 & 0xF
+    if i == 7:
+        return w_u32 >> 28          # logical shift on uint32: no mask
+    return (w_u32 >> (4 * i)) & 0xF
 
 
-def _e8p_planes(w_i32):
-    # NOTE: a float-bits decode (bitcast(0x4B000000|u) == 2^23+u) was tried
-    # and rejected: the fractional offset can't ride in the magic constant
-    # (ulp(2^23) = 1.0), forcing an extra subtract with no op saved.
-    w = _u32(w_i32)
-    parity = ((w >> 24) & 1).astype(jnp.int32)
-    offm = jnp.float32(-2.25) - 0.5 * parity.astype(jnp.float32)
-    return [((w >> (3 * i)) & 7).astype(jnp.int32).astype(jnp.float32)
-            + offm for i in range(8)]
-
-
-def _snib_planes(w_i32):
-    w = _u32(w_i32)
-    out = []
-    for i in range(8):
-        nib = ((w >> (4 * i)) & 0xF).astype(jnp.int32)
-        s4 = jnp.where(nib >= 8, nib - 16, nib)
-        out.append(s4.astype(jnp.float32) * 0.5)
-    return out
-
-
-def _hi_planes(w_i32):
-    w = _u32(w_i32)
-    return [((w >> (4 * i)) & 0xF).astype(jnp.int32).astype(jnp.float32)
-            - 7.5 for i in range(8)]
-
-
-def _plane_fn(cid: str, resid_scale: float):
-    if cid == "E8P12":
-        return lambda w0: _e8p_planes(w0)
-    if cid == "E8P12RVQ4B":
-        return lambda w0, w1: [a + resid_scale * b for a, b in zip(
-            _e8p_planes(w0), _e8p_planes(w1))]
-    if cid == "E8P12RVQ3B":
-        return lambda w0, w1: [a + resid_scale * b for a, b in zip(
-            _e8p_planes(w0), _snib_planes(w1))]
-    if cid == "D4":
-        return lambda w0: _snib_planes(w0)
-    if cid == "HI":
-        return lambda w0: _hi_planes(w0)
-    raise ValueError(cid)
-
-
-def _make_kernel(cid: str, G: int, n_planes: int, resid_scale: float,
-                 out_dtype):
-    planes_of = _plane_fn(cid, resid_scale)
+def _make_kernel(affine, G: int, out_dtype):
+    beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
         w_refs = refs[:-1]
-        planes = planes_of(*[r[...] for r in w_refs])
-        acc = None
-        for i, v in enumerate(planes):
-            xi = x_ref[:, i * G:(i + 1) * G]
-            part = jax.lax.dot_general(
-                xi, v.astype(xi.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-        o_ref[...] = acc.astype(out_dtype)
+        x = x_ref[...].astype(jnp.float32)            # (m, 8G), cast once
+        out = None
+        for (alpha, _), w_ref in zip(affine, w_refs):
+            w = pltpu.bitcast(w_ref[...], jnp.uint32)
+            acc = None
+            for i in range(8):
+                v = _nibble(w, i).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            acc = acc * alpha
+            out = acc if out is None else out + acc
+        # beta correction: sum_j x_j * beta for every output lane
+        xs = jnp.sum(x, axis=1, keepdims=True)        # (m, 1)
+        o_ref[...] = (out + beta_total * xs).astype(out_dtype)
 
     return kernel
 
@@ -118,16 +95,14 @@ def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cid", "q_out", "resid_scale",
-                                    "out_dtype_str"))
-def _fused_call(x_perm, planes_tuple, cid, q_out, resid_scale,
-                out_dtype_str):
+                   static_argnames=("affine", "q_out", "out_dtype_str"))
+def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str):
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
     TN = _pick_tn(q_out, Gp, n_planes)
     out_dtype = np.dtype(out_dtype_str)
-    kernel = _make_kernel(cid, Gp, n_planes, resid_scale, out_dtype)
+    kernel = _make_kernel(affine, Gp, out_dtype)
 
     plane_specs = [
         pl.BlockSpec((TN, Gp), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -170,7 +145,6 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
-    out = _fused_call(x_perm, planes, qt.codebook_id, qt.q_out,
-                      float(qt.opt_resid_scale),
+    out = _fused_call(x_perm, planes, qt.decode_affine, qt.q_out,
                       np.dtype(x_perm.dtype).name)
     return out[:m]

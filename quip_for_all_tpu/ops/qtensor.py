@@ -5,19 +5,29 @@ Checkpoint layout keeps the reference's packed formats (SURVEY.md §5,
 the TPU decode path measured fastest on hardware (tools/microbench_decode.py):
 Mosaic's dynamic_gather sustains only ~1 gather / 3.4 cycles while plain VPU
 arithmetic issues ~4 ops/cycle, so codes are re-encoded at load time into
-**arithmetic word planes** — one int32 per 8-weight group, decodable with
-shifts/masks/converts only, no tables, no gathers:
+**affine nibble word planes** — one int32 per 8-weight group holding 8
+UNSIGNED nibbles, with a single static affine decode shared by every
+codebook family:
 
-  E8P12 (and each RVQ stage): bits [3i, 3i+3) hold u_i in {0..5} with
-      weight_i = u_i - 2.5 + off,  off = (bit24 ? -0.25 : +0.25)
-      (every E8P codeword is sign*{0.5,1.5,2.5} +- 0.25 — six values)
-  4-bit signed family (D4 packs two 4-groups/word; E8P12RVQ3B residual):
-      nibble i holds t_i = 2*weight_i as signed 4-bit; weight = 0.5 * s4
-  HI: nibble i holds u_i in {0..15}; weight = u_i - 7.5
+    weight_i = alpha * nib_i + beta,   nib_i = (word >> 4*i) & 0xF
 
-This trades stored density (4 bits/weight for the 2-bit codebooks) for a
-zero-gather decode; HBM streaming stays far below the VPU decode cost, so
-bs=1 decode remains decode-bound, not bandwidth-bound.
+  E8P12 (and each RVQ stage): every codeword entry is
+      sign*{0.5,1.5,2.5} ± 0.25 = u - 2.5 ± 0.25 with u in {0..5} and the
+      ±0.25 parity shared per group, so nib = 2u + 1 - parity in {0..11}
+      and (alpha, beta) = (0.5, -2.75)
+  half-integer signed family (D4; E8P12RVQ3B residual): nib = 2*weight + 8,
+      (alpha, beta) = (0.5, -4)
+  HI: nib = code, (alpha, beta) = (1, -7.5)
+
+The affine form is what makes the decode speed-of-light on the VPU: the
+per-nibble work is exactly {shift, mask, convert} (the i=0 shift and i=7
+mask vanish), alpha folds into a per-tile epilogue scalar, and beta folds
+into ``beta * rowsum(x)`` — one rank-1 correction per output tile instead
+of a per-element offset add (see ops/dequant_pallas.py). Residual stages
+are additional plane sets with their own (alpha, beta) scaled by
+opt_resid_scale. This trades stored density (4 bits/weight for the 2-bit
+codebooks) for a zero-gather decode; HBM streaming stays below the VPU
+decode cost, so bs=1 decode remains decode-bound, not bandwidth-bound.
 
 Plane columns are padded to 128-lane multiples; pad groups decode to
 garbage but every consumer slices them off or zeroes the matching x lanes.
@@ -62,6 +72,30 @@ class QuantizedTensor:
             self.codebook_id,
             self.opt_resid_scale if self.opt_resid_scale > 0 else None)
 
+    @property
+    def decode_affine(self):
+        """Per-plane-set static (alpha, beta): weight = sum_s alpha_s*nib_s
+        + sum_s beta_s over the word planes, in sorted plane-key order."""
+        return decode_affine(self.codebook_id, self.opt_resid_scale)
+
+
+def decode_affine(codebook_id: str, opt_resid_scale: float = -1.0):
+    E8P = (0.5, -2.75)    # nib = 2u + 1 - parity, weight = u - 2.5 ± 0.25
+    SNIB = (0.5, -4.0)    # nib = 2*weight + 8
+    if codebook_id == "E8P12":
+        return (E8P,)
+    if codebook_id == "E8P12RVQ4B":
+        rs = opt_resid_scale
+        return (E8P, (E8P[0] * rs, E8P[1] * rs))
+    if codebook_id == "E8P12RVQ3B":
+        rs = opt_resid_scale
+        return (E8P, (SNIB[0] * rs, SNIB[1] * rs))
+    if codebook_id == "D4":
+        return (SNIB,)
+    if codebook_id == "HI":
+        return ((1.0, -7.5),)
+    raise ValueError(codebook_id)
+
 
 def _pad_cols(a: np.ndarray, mult: int = 128) -> np.ndarray:
     pad = (-a.shape[1]) % mult
@@ -71,19 +105,15 @@ def _pad_cols(a: np.ndarray, mult: int = 128) -> np.ndarray:
 # ------------------------------------------------- encode helpers (numpy)
 
 def _e8p_words_from_idx(idx16: np.ndarray) -> np.ndarray:
-    """(..., G) uint16 E8P codes -> int32 word plane (codes+parity)."""
+    """(..., G) uint16 E8P codes -> int32 affine-nibble word plane."""
     vals = e8p12.full_grid()[idx16.astype(np.int64)]      # (..., G, 8)
-    signs = idx16.astype(np.int64) & 0xFF
-    p = signs ^ (signs >> 4)
-    p ^= p >> 2
-    p ^= p >> 1
-    parity = (p & 1).astype(np.int64)
-    off = np.where(parity == 1, -0.25, 0.25)
-    u = np.rint(vals - off[..., None] + 2.5).astype(np.int64)  # in {0..5}
+    # weight = 0.5*nib - 2.75 exactly (entries are u - 2.5 ± 0.25, the
+    # ±0.25 parity shared per codeword), so nib = 2*weight + 5.5 in {0..11}
+    nib = np.rint(vals * 2 + 5.5).astype(np.int64)
+    assert nib.min() >= 0 and nib.max() <= 15
     word = np.zeros(idx16.shape, dtype=np.int64)
     for i in range(8):
-        word |= u[..., i] << (3 * i)
-    word |= parity << 24
+        word |= nib[..., i] << (4 * i)
     return word.astype(np.uint32).view(np.int32)
 
 
@@ -108,10 +138,8 @@ def _vals_key(vals: np.ndarray) -> np.ndarray:
 def _e8p_idx_from_words(words: np.ndarray) -> np.ndarray:
     """int32 word plane -> uint16 E8P codes (exact inverse)."""
     w = words.view(np.uint32).astype(np.int64)
-    parity = (w >> 24) & 1
-    off = np.where(parity == 1, -0.25, 0.25)
-    vals = np.stack([((w >> (3 * i)) & 7).astype(np.float64)
-                     for i in range(8)], axis=-1) - 2.5 + off[..., None]
+    vals = np.stack([((w >> (4 * i)) & 0xF).astype(np.float64)
+                     for i in range(8)], axis=-1) * 0.5 - 2.75
     keys = _vals_key(vals)
     skeys, order = _e8p_inverse_keys()
     pos = np.searchsorted(skeys, keys)
@@ -119,23 +147,23 @@ def _e8p_idx_from_words(words: np.ndarray) -> np.ndarray:
     return order[pos].astype(np.uint16)
 
 
-def _nibble_words_from_vals(vals: np.ndarray, scale: float = 2.0
-                            ) -> np.ndarray:
-    """(..., G, 8) values (|v*scale| <= 7) -> int32 signed-nibble words."""
-    t = np.rint(vals * scale).astype(np.int64) & 0xF
+def _nibble_words_from_vals(vals: np.ndarray) -> np.ndarray:
+    """(..., G, 8) half-integer values in [-4, 3.5] -> int32 biased-nibble
+    words (nib = 2*v + 8, decode weight = 0.5*nib - 4)."""
+    t = np.rint(vals * 2).astype(np.int64) + 8
+    assert t.min() >= 0 and t.max() <= 15
     word = np.zeros(vals.shape[:-1], dtype=np.int64)
     for i in range(8):
         word |= t[..., i] << (4 * i)
     return word.astype(np.uint32).view(np.int32)
 
 
-def _nibble_vals_from_words(words: np.ndarray, scale: float = 2.0
-                            ) -> np.ndarray:
+def _nibble_vals_from_words(words: np.ndarray) -> np.ndarray:
     w = words.view(np.uint32).astype(np.int64)
     out = np.empty(words.shape + (8,), dtype=np.float64)
     for i in range(8):
         nib = (w >> (4 * i)) & 0xF
-        out[..., i] = np.where(nib >= 8, nib - 16, nib) / scale
+        out[..., i] = (nib - 8) * 0.5
     return out
 
 
