@@ -34,6 +34,9 @@ class ModelConfig:
     # gpt_neox family
     rotary_pct: float = 1.0
     use_parallel_residual: bool = True
+    # falcon new_decoder_architecture (40B/180B): parallel residual with
+    # separate ln_attn / ln_mlp input norms
+    parallel_dual_ln: bool = False
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -111,12 +114,15 @@ class ModelConfig:
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
         if model_type in ("falcon", "RefinedWeb", "RefinedWebModel"):
-            if cfg.get("new_decoder_architecture", False):
-                raise ValueError("falcon new_decoder_architecture "
-                                 "(dual-LN 40b) is not supported yet")
             D = cfg.get("hidden_size", cfg.get("d_model"))
             H = cfg.get("num_attention_heads", cfg.get("n_head"))
-            kv = 1 if cfg.get("multi_query", True) else H
+            # falcon-40B/180B "new decoder": GQA (num_kv_heads) + parallel
+            # residual off dual input norms (HF FalconDecoderLayer)
+            new_arch = cfg.get("new_decoder_architecture", False)
+            if new_arch:
+                kv = cfg.get("num_kv_heads") or H
+            else:
+                kv = 1 if cfg.get("multi_query", True) else H
             return cls(
                 arch="falcon",
                 vocab_size=cfg["vocab_size"],
@@ -130,7 +136,9 @@ class ModelConfig:
                     "max_position_embeddings", 2048),
                 rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
                 rope_theta=cfg.get("rope_theta", 10000.0),
-                use_parallel_residual=cfg.get("parallel_attn", True),
+                use_parallel_residual=(cfg.get("parallel_attn", True)
+                                       or new_arch),
+                parallel_dual_ln=new_arch,
                 tie_word_embeddings=True,
             )
         if model_type == "opt":

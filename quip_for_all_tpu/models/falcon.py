@@ -8,9 +8,10 @@ handled natively:
     ordered (kv_group, {q_0..q_per_group-1, k, v}, head_dim); covers both
     the multi-query 7b layout (1 kv group) and the 40b GQA layout;
   - parallel attention + MLP off a single input LayerNorm
-    (parallel_attn=True, new_decoder_architecture handled via
-    num_kv_heads); the non-parallel pre/post-LN variant is also supported
-    (cfg.use_parallel_residual=False);
+    (parallel_attn=True); the non-parallel pre/post-LN variant
+    (cfg.use_parallel_residual=False); and the new_decoder_architecture
+    (falcon-40B/180B) variant: GQA num_kv_heads plus parallel residual off
+    separate ln_attn / ln_mlp input norms (cfg.parallel_dual_ln);
   - full rotary embeddings, LayerNorm with bias, tied lm_head.
 
 Same API surface as models/llama.py so the quantizer, generate loop and
@@ -84,7 +85,16 @@ def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
             captures["fc2"] = m
         return linear_apply(blk["mlp"]["dense_4h_to_h"], m, **linear_kw)
 
-    if cfg.use_parallel_residual:   # falcon parallel_attn: one shared LN
+    if cfg.parallel_dual_ln:
+        # new_decoder_architecture (falcon-40B/180B): parallel residual
+        # with separate attention/MLP input norms (HF FalconDecoderLayer)
+        ha = layer_norm(blk["ln_attn"], x, cfg.rms_norm_eps)
+        hm = layer_norm(blk["ln_mlp"], x, cfg.rms_norm_eps)
+        a, new_cache = attention(cfg, blk["self_attention"], ha, cos, sin,
+                                 kv_cache, cache_position, attn_mask,
+                                 linear_kw, captures)
+        x = x + a + mlp(hm)
+    elif cfg.use_parallel_residual:  # falcon parallel_attn: one shared LN
         h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
         a, new_cache = attention(cfg, blk["self_attention"], h, cos, sin,
                                  kv_cache, cache_position, attn_mask,
@@ -148,15 +158,19 @@ def init_falcon_params(cfg: ModelConfig, seed: int = 0,
 
     def block():
         blk = {
-            "input_layernorm": ln(),
             "self_attention": {
                 "query_key_value": lin((H + 2 * KV) * hd, D, bias=False),
                 "dense": lin(D, H * hd, bias=False)},
             "mlp": {"dense_h_to_4h": lin(I, D, bias=False),
                     "dense_4h_to_h": lin(D, I, bias=False)},
         }
-        if not cfg.use_parallel_residual:
-            blk["post_attention_layernorm"] = ln()
+        if cfg.parallel_dual_ln:
+            blk["ln_attn"] = ln()
+            blk["ln_mlp"] = ln()
+        else:
+            blk["input_layernorm"] = ln()
+            if not cfg.use_parallel_residual:
+                blk["post_attention_layernorm"] = ln()
         return blk
 
     return {

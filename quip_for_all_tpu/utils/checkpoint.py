@@ -173,6 +173,8 @@ def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
             "num_attention_heads": cfg.num_attention_heads,
             "multi_query": cfg.num_key_value_heads == 1,
             "parallel_attn": cfg.use_parallel_residual,
+            "new_decoder_architecture": cfg.parallel_dual_ln,
+            "num_kv_heads": cfg.num_key_value_heads,
             "max_position_embeddings": cfg.max_position_embeddings,
             "layer_norm_epsilon": cfg.rms_norm_eps,
             "rope_theta": cfg.rope_theta,
@@ -514,7 +516,6 @@ def _load_falcon(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
         blk = {
-            "input_layernorm": ln(f"{p}.input_layernorm"),
             "self_attention": {
                 "query_key_value": linear_or_dense(
                     f"{p}.self_attention.query_key_value"),
@@ -525,9 +526,14 @@ def _load_falcon(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
                 "dense_4h_to_h": linear_or_dense(
                     f"{p}.mlp.dense_4h_to_h")},
         }
-        if f"{p}.post_attention_layernorm.weight" in tensors:
-            blk["post_attention_layernorm"] = ln(
-                f"{p}.post_attention_layernorm")
+        if cfg.parallel_dual_ln:
+            blk["ln_attn"] = ln(f"{p}.ln_attn")
+            blk["ln_mlp"] = ln(f"{p}.ln_mlp")
+        else:
+            blk["input_layernorm"] = ln(f"{p}.input_layernorm")
+            if f"{p}.post_attention_layernorm.weight" in tensors:
+                blk["post_attention_layernorm"] = ln(
+                    f"{p}.post_attention_layernorm")
         params["layers"].append(blk)
     return params
 

@@ -242,8 +242,6 @@ def _falcon_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
     for i in range(cfg.num_hidden_layers):
         p = f"{pre}h.{i}"
         blk = {
-            "input_layernorm": _named_ln(t, f"{p}.input_layernorm",
-                                         dtype),
             "self_attention": {
                 "query_key_value": _named_lin(
                     t, f"{p}.self_attention.query_key_value", dtype),
@@ -255,9 +253,15 @@ def _falcon_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
                 "dense_4h_to_h": _named_lin(
                     t, f"{p}.mlp.dense_4h_to_h", dtype)},
         }
-        if f"{p}.post_attention_layernorm.weight" in t:
-            blk["post_attention_layernorm"] = _named_ln(
-                t, f"{p}.post_attention_layernorm", dtype)
+        if cfg.parallel_dual_ln:
+            blk["ln_attn"] = _named_ln(t, f"{p}.ln_attn", dtype)
+            blk["ln_mlp"] = _named_ln(t, f"{p}.ln_mlp", dtype)
+        else:
+            blk["input_layernorm"] = _named_ln(
+                t, f"{p}.input_layernorm", dtype)
+            if f"{p}.post_attention_layernorm.weight" in t:
+                blk["post_attention_layernorm"] = _named_ln(
+                    t, f"{p}.post_attention_layernorm", dtype)
         params["layers"].append(blk)
     return params
 

@@ -193,6 +193,77 @@ def test_falcon_quantize_generate_roundtrip(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+def _tiny_falcon40b_cfg():
+    """Falcon-40B-shaped: new_decoder_architecture (dual-LN parallel
+    residual) + grouped GQA qkv with 1 < kv < heads."""
+    return ModelConfig(arch="falcon", vocab_size=256, hidden_size=64,
+                       intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       max_position_embeddings=128,
+                       use_parallel_residual=True, parallel_dual_ln=True,
+                       tie_word_embeddings=True)
+
+
+def test_falcon_new_decoder_forward_and_cached_decode():
+    from quip_for_all_tpu.models import falcon as FA
+    cfg = _tiny_falcon40b_cfg()
+    _check_cached_decode(cfg, FA, FA.init_falcon_params(cfg, seed=0))
+
+
+def test_falcon_new_decoder_hf_oracle(tmp_path):
+    """Logit parity against transformers' FalconForCausalLM with
+    new_decoder_architecture=True (the falcon-40b layer,
+    reference constants.py:19-24 handles it via generic patterns)."""
+    import torch
+    from transformers import FalconConfig, FalconForCausalLM
+    from quip_for_all_tpu.models import falcon as FA
+    from quip_for_all_tpu.utils.hf_import import load_hf_model
+
+    hf_cfg = FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2,
+        new_decoder_architecture=True, parallel_attn=True,
+        bias=False, alibi=False, tie_word_embeddings=True)
+    torch.manual_seed(0)
+    m = FalconForCausalLM(hf_cfg).eval()
+    d = str(tmp_path / "falcon40b_tiny")
+    m.save_pretrained(d)
+
+    cfg, params = load_hf_model(d)
+    assert cfg.parallel_dual_ln and cfg.num_key_value_heads == 2
+    ids = (np.arange(10) * 7 % 256)[None, :]
+    with torch.no_grad():
+        ref = m(torch.tensor(ids)).logits.float().numpy()
+    ours, _ = FA.model_apply(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_falcon_new_decoder_quantize_roundtrip(tmp_path):
+    from quip_for_all_tpu.models import falcon as FA
+    from quip_for_all_tpu.utils.checkpoint import (load_quantized,
+                                                   save_quantized)
+    cfg = _tiny_falcon40b_cfg()
+    params = FA.init_falcon_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, params, calib)
+    assert isinstance(qparams["layers"][0]["self_attention"]
+                      ["query_key_value"], QuantLinearParams)
+    out = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]), 5,
+                              cache_len=32, dtype_str="float32"))
+    assert out.shape == (1, 8)
+    d = str(tmp_path / "fa40")
+    save_quantized(cfg, qparams, q.to_dict(), d)
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.parallel_dual_ln and cfg2.num_key_value_heads == 2
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    l1, _ = FA.model_apply(cfg, qparams, ids)
+    l2, _ = FA.model_apply(cfg2, lp, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_phi_forward_and_cached_decode():
     from quip_for_all_tpu.models import phi as PH
     cfg = ModelConfig(arch="phi", vocab_size=256, hidden_size=64,
