@@ -201,11 +201,32 @@ def mlp_apply(mlp_p: Params, x: jax.Array, linear_kw: dict,
 
 def moe_apply(cfg: ModelConfig, moe_p: Params, x: jax.Array, linear_kw: dict,
               captures: Optional[dict]) -> jax.Array:
-    """Mixtral sparse MoE. Dense formulation: every expert runs on every
-    token, masked by top-k router weights — MXU-friendly and exact; a
-    gather-based dispatch is a planned decode optimization."""
+    """Mixtral top-k MoE.
+
+    Three formulations (nn/qmoe.py):
+      - stacked sparse (decode, small token count): scalar-prefetch Pallas
+        dispatch reads only the selected experts' planes from HBM;
+      - per-expert dense masked loop (prefill / capture / unquantized):
+        every expert on every token — MXU-friendly, round-1 behavior;
+      - ``moe_dense_stacked_apply`` (called by EP-sharded pipelines
+        directly) distributes the stacked E axis over an "ep" mesh axis.
+    """
     B, S, D = x.shape
     router_logits = linear_apply(moe_p["gate"], x, **linear_kw)  # (B,S,E)
+    if "experts_stacked" in moe_p and captures is None:
+        from ..nn.qmoe import moe_sparse_apply
+        cd = linear_kw.get("compute_dtype", jnp.bfloat16)
+        if B * S < 32 and not linear_kw.get("training"):
+            return moe_sparse_apply(cfg, moe_p, x, router_logits,
+                                    compute_dtype=cd)
+        from ..nn.qmoe import unstack_qlinear
+        experts = [
+            {"w1": unstack_qlinear(moe_p["experts_stacked"]["w13"], e)[0],
+             "w3": unstack_qlinear(moe_p["experts_stacked"]["w13"], e)[1],
+             "w2": unstack_qlinear(moe_p["experts_stacked"]["w2"], e)[0]}
+            for e in range(cfg.num_local_experts)]
+    else:
+        experts = moe_p["experts"]
     E, K = cfg.num_local_experts, cfg.num_experts_per_tok
     topv, topi = jax.lax.top_k(router_logits.astype(jnp.float32), K)
     topw = jax.nn.softmax(topv, axis=-1)                         # (B,S,K)
@@ -217,7 +238,7 @@ def moe_apply(cfg: ModelConfig, moe_p: Params, x: jax.Array, linear_kw: dict,
         captures["moe_input"] = x
     out = jnp.zeros_like(x)
     for e in range(E):
-        ep = moe_p["experts"][e]
+        ep = experts[e]
         w = routing[..., e][..., None].astype(x.dtype)
         h = jax.nn.silu(linear_apply(ep["w1"], x, **linear_kw)) * \
             linear_apply(ep["w3"], x, **linear_kw)
@@ -347,6 +368,14 @@ def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
                 mlp["gateup_proj"] = fuse_qlinears(duo)
                 del mlp["gate_proj"], mlp["up_proj"]
             blk["mlp"] = mlp
+        if cfg.arch == "mixtral" and "block_sparse_moe" in blk:
+            from ..nn.qmoe import stack_experts
+            moe = dict(blk["block_sparse_moe"])
+            stacked = stack_experts(moe)
+            if stacked is not None:
+                moe["experts_stacked"] = stacked
+                del moe["experts"]
+                blk["block_sparse_moe"] = moe
         out_layers.append(blk)
     out = dict(params)
     out["layers"] = out_layers

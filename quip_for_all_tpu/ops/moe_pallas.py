@@ -1,0 +1,120 @@
+"""Pallas fused MoE decode matmul: per-row expert selection via scalar
+prefetch, so only the SELECTED experts' code planes ever leave HBM.
+
+The reference supports Mixtral functionally but runs each expert as an
+independent QuantLinear on whichever tokens route to it, scheduled by
+torch host code (``constants.py:60-94``, ``utils.py:176-185``). A TPU
+decode step cannot branch on routing at trace time, and the round-1 dense
+formulation (every expert runs on every token, masked) streams all E
+experts' planes per token — E/K× wasted HBM bandwidth at top-K routing.
+
+Here the (token, slot) pairs become R = m*K independent rows. The expert
+id of each row is a scalar-prefetch operand, consumed by the weight-plane
+BlockSpec index_map: row r's grid step DMAs block (eids[r], tile) of the
+stacked (E, q_out, Gp) plane array. The kernel body is the same affine
+nibble decode + 8 position-plane dots as ops/dequant_pallas.py; HBM
+traffic per decode step drops from E to K expert sweeps (4x on Mixtral).
+
+x rows arrive already in each expert's OWN incoherence basis (each expert
+group has its own SU/hadK), in the kernel's grouped-permuted layout —
+nn/qmoe.py prepares that with batched per-row transforms.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dequant_pallas import _nibble
+from .qtensor import decode_affine
+
+_INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
+
+
+def supports_moe(planes: dict, q_out: int) -> bool:
+    backend_ok = jax.default_backend() in ("tpu", "axon") or _INTERPRET
+    if not backend_ok:
+        return False
+    return _pick_tn(q_out) is not None or _INTERPRET
+
+
+def _pick_tn(q_out: int):
+    forced = os.environ.get("QFA_MOE_TN")
+    if forced and q_out % int(forced) == 0:
+        return int(forced)
+    for tn in (512, 256, 128):
+        if q_out % tn == 0:
+            return tn
+    return None
+
+
+def _make_moe_kernel(affine, G: int, out_dtype):
+    beta_total = float(sum(b for _, b in affine))
+
+    def kernel(eids_ref, x_ref, *refs):
+        del eids_ref  # consumed by the index_maps only
+        o_ref = refs[-1]
+        w_refs = refs[:-1]
+        x = x_ref[...].astype(jnp.float32)            # (1, 8G)
+        out = None
+        for (alpha, _), w_ref in zip(affine, w_refs):
+            w = pltpu.bitcast(w_ref[0], jnp.uint32)   # (TN, G)
+            acc = None
+            for i in range(8):
+                v = _nibble(w, i).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            acc = acc * alpha
+            out = acc if out is None else out + acc
+        xs = jnp.sum(x, axis=1, keepdims=True)
+        o_ref[...] = (out + beta_total * xs).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("affine", "q_out", "out_dtype_str"))
+def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str):
+    R = x_perm.shape[0]
+    Gp = planes_tuple[0].shape[2]
+    TN = _pick_tn(q_out) or q_out
+    out_dtype = np.dtype(out_dtype_str)
+    kernel = _make_moe_kernel(affine, Gp, out_dtype)
+
+    plane_specs = [
+        pl.BlockSpec((1, TN, Gp), lambda r, t, eids: (eids[r], t, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in planes_tuple
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R, q_out // TN),
+        in_specs=[pl.BlockSpec((1, 8 * Gp), lambda r, t, eids: (r, 0),
+                               memory_space=pltpu.VMEM)] + plane_specs,
+        out_specs=pl.BlockSpec((1, TN), lambda r, t, eids: (r, t),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, q_out), out_dtype),
+        interpret=_INTERPRET,
+    )(eids.astype(jnp.int32), x_perm, *planes_tuple)
+
+
+def moe_fused_matmul(x_perm: jax.Array, eids: jax.Array, planes: dict,
+                     codebook_id: str, opt_resid_scale: float,
+                     q_out: int) -> jax.Array:
+    """x_perm: (R, 8*Gp) rows in grouped-permuted layout, eids: (R,)
+    expert id per row, planes: {key: (E, q_out, Gp)} -> (R, q_out)."""
+    affine = decode_affine(codebook_id, opt_resid_scale)
+    planes_tuple = tuple(planes[k] for k in sorted(planes))
+    return _moe_call(x_perm, eids, planes_tuple, affine, q_out,
+                     np.dtype(x_perm.dtype).name)

@@ -26,7 +26,7 @@ from ..nn.qlinear import QuantLinearParams
 # layer-role tables (the reference's constants.py pattern DB, reduced to our
 # native model families)
 _COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-                 "w1", "w3", "lm_head",
+                 "w1", "w3", "w13", "lm_head",
                  "query_key_value", "dense_h_to_4h",       # gpt_neox
                  "fc1",                                    # opt
                  "W_pack",                                 # baichuan
@@ -48,14 +48,20 @@ def role_of(name: str) -> str:
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
-              tp: Optional[int] = None) -> Mesh:
+              tp: Optional[int] = None, ep: int = 1) -> Mesh:
+    """("dp", "tp") mesh, or ("dp", "ep", "tp") when ep > 1 — the "ep"
+    axis shards the stacked expert dimension of MoE layers (SURVEY §2.4
+    expert parallelism; the reference has no distributed backend)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if tp is None:
-        tp = n if dp is None else n // dp
+        tp = (n // ep) if dp is None else n // (dp * ep)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, (dp, tp, n)
+        dp = n // (tp * ep)
+    assert dp * tp * ep == n, (dp, ep, tp, n)
+    if ep > 1:
+        arr = np.array(devs[:n]).reshape(dp, ep, tp)
+        return Mesh(arr, ("dp", "ep", "tp"))
     arr = np.array(devs[:n]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
@@ -97,6 +103,37 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
         W_cache=None if p.W_cache is None else P(None, None))
 
 
+def stacked_spec(sq, role: str, tp: int, ep_name: Optional[str], ep: int):
+    """PartitionSpec pytree for a StackedQuantLinear (nn/qmoe.py): the
+    leading E axis shards over "ep"; within an expert, col-parallel stacks
+    shard q_out over "tp" and row-parallel ones shard the plane columns
+    (megatron roles, same rules as qlinear_spec)."""
+    import dataclasses as dc
+
+    e_ax = ep_name if (ep_name is not None and _divides(sq.E, ep)) else None
+    col = role == "col"
+    shard_out = col and _divides(sq.q_out_total, tp)
+    shard_in = (not col) and _divides(sq.q_in, tp)
+    planes = {
+        k: (P(e_ax, "tp", None) if shard_out
+            else P(e_ax, None, "tp") if shard_in
+            else P(e_ax, None, None))
+        for k in sq.planes
+    }
+    out_vec = P(e_ax, "tp") if shard_out else P(e_ax, None)
+    in_vec = P(e_ax, "tp") if shard_in else P(e_ax, None)
+    return dc.replace(
+        sq,
+        planes=planes,
+        SU=None if sq.SU is None else in_vec,
+        had_left=None if sq.had_left is None else P(e_ax, None, None),
+        pre_vec=out_vec,
+        had_right=None if sq.had_right is None else P(e_ax, None, None,
+                                                      None),
+        SV_all=None if sq.SV_all is None else out_vec,
+        bias_all=None if sq.bias_all is None else out_vec)
+
+
 def dense_spec(lin: Dict[str, Any], role: str, tp: int,
                out_f: int, in_f: int) -> Dict[str, Any]:
     if role == "col" and _divides(out_f, tp):
@@ -118,6 +155,8 @@ def param_specs(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh
                 ) -> Dict[str, Any]:
     """PartitionSpec pytree mirroring the params pytree."""
     tp = mesh.shape["tp"]
+    ep_name = "ep" if "ep" in mesh.axis_names else None
+    ep = mesh.shape["ep"] if ep_name else 1
 
     def role_of(name: str) -> str:
         if any(name.endswith(s) for s in _COL_PARALLEL):
@@ -127,6 +166,9 @@ def param_specs(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh
         return "rep"
 
     def walk(node, name):
+        from ..nn.qmoe import StackedQuantLinear
+        if isinstance(node, StackedQuantLinear):
+            return stacked_spec(node, role_of(name), tp, ep_name, ep)
         if isinstance(node, QuantLinearParams):
             return qlinear_spec(node, role_of(name), tp)
         if isinstance(node, dict):

@@ -1,0 +1,171 @@
+"""Stacked-expert MoE: top-K sparse dispatch vs the dense masked loop,
+unstacked views, and expert-parallel sharding on the 8-device CPU mesh
+(VERDICT r1 item 4; BASELINE north-star #4)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+os.environ["QFA_PALLAS_INTERPRET"] = "1"
+
+from quip_for_all_tpu.data.calibration import synthetic_tokens
+from quip_for_all_tpu.models import llama as M
+from quip_for_all_tpu.models.config import ModelConfig
+from quip_for_all_tpu.nn import qlinear, qmoe
+from quip_for_all_tpu.parallel import sharding
+from quip_for_all_tpu.quantize.quantizer import QuipQuantizer
+from quip_for_all_tpu.runtime.generate import generate
+
+
+def _tiny_mixtral(E=4):
+    return ModelConfig(arch="mixtral", vocab_size=256, hidden_size=64,
+                       intermediate_size=96, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       max_position_embeddings=128, num_local_experts=E,
+                       num_experts_per_tok=2)
+
+
+@pytest.fixture(scope="module")
+def qmix():
+    cfg = _tiny_mixtral()
+    params = M.init_llama_params(cfg, seed=0)
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0,
+                      modules_to_not_convert=["gate"])
+    qparams = q.quantize_model(cfg, params, calib)
+    return cfg, qparams
+
+
+def test_stack_and_unstack_roundtrip(qmix, rng):
+    cfg, qparams = qmix
+    moe = qparams["layers"][0]["block_sparse_moe"]
+    st = qmoe.stack_experts(moe)
+    assert st is not None
+    w13, w2 = st["w13"], st["w2"]
+    assert w13.E == cfg.num_local_experts and w13.nseg == 2
+    assert w2.nseg == 1 and w2.seg_out >= cfg.hidden_size
+
+    x = jnp.asarray(rng.standard_normal((3, cfg.hidden_size)),
+                    jnp.float32)
+    for e in range(cfg.num_local_experts):
+        segs = qmoe.unstack_qlinear(w13, e)
+        ref1 = qlinear.apply(moe["experts"][e]["w1"], x,
+                             compute_dtype=jnp.float32)
+        got1 = qlinear.apply(segs[0], x, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                                   rtol=1e-4, atol=1e-5)
+        ref3 = qlinear.apply(moe["experts"][e]["w3"], x,
+                             compute_dtype=jnp.float32)
+        got3 = qlinear.apply(segs[1], x, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_rows_apply_matches_per_expert(qmix, rng):
+    cfg, qparams = qmix
+    moe = qparams["layers"][0]["block_sparse_moe"]
+    st = qmoe.stack_experts(moe)
+    w13 = st["w13"]
+    R = 5
+    x = jnp.asarray(rng.standard_normal((R, cfg.hidden_size)), jnp.float32)
+    eids = jnp.asarray(rng.integers(0, cfg.num_local_experts, R),
+                       jnp.int32)
+    got = qmoe.stacked_rows_apply(w13, x, eids,
+                                  compute_dtype=jnp.float32)
+    for r in range(R):
+        e = int(eids[r])
+        y1 = qlinear.apply(moe["experts"][e]["w1"], x[r:r + 1],
+                           compute_dtype=jnp.float32)
+        y3 = qlinear.apply(moe["experts"][e]["w3"], x[r:r + 1],
+                           compute_dtype=jnp.float32)
+        ref = jnp.concatenate([y1, y3], axis=-1)
+        np.testing.assert_allclose(np.asarray(got[r:r + 1]),
+                                   np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+
+def test_sparse_decode_matches_dense_formulation(qmix):
+    cfg, qparams = qmix
+    fused = M.fuse_for_inference(cfg, qparams)
+    moe = fused["layers"][0]["block_sparse_moe"]
+    assert "experts_stacked" in moe and "experts" not in moe
+
+    # decode-shaped input (1 token) through both formulations
+    ids = jnp.asarray([[7, 3, 11]])
+    logits_list, _ = M.model_apply(cfg, qparams, ids)
+    logits_stacked, _ = M.model_apply(cfg, fused, ids[:, -1:],
+                                      positions=jnp.asarray([[2]]))
+    # compare the final-token distribution (dense path runs all 3 tokens)
+    a = np.asarray(jax.nn.softmax(logits_list[0, -1].astype(np.float32)))
+    b = np.asarray(jax.nn.softmax(
+        logits_stacked[0, -1].astype(np.float32)))
+    assert np.abs(a - b).max() < 5e-2
+
+
+def test_generate_with_stacked_experts(qmix):
+    cfg, qparams = qmix
+    fused = M.fuse_for_inference(cfg, qparams)
+    out_ref = np.asarray(generate(cfg, qparams, jnp.asarray([[1, 2, 3]]),
+                                  6, cache_len=16, dtype_str="float32"))
+    out_st = np.asarray(generate(cfg, fused, jnp.asarray([[1, 2, 3]]),
+                                 6, cache_len=16, dtype_str="float32"))
+    assert out_st.shape == (1, 9)
+    # greedy decode over the same weights: identical prefixes expected
+    # (small numeric reordering may flip late tokens)
+    assert (out_ref[0, :5] == out_st[0, :5]).all()
+
+
+def test_dense_stacked_apply_matches_loop(qmix, rng):
+    cfg, qparams = qmix
+    moe = qparams["layers"][0]["block_sparse_moe"]
+    st = qmoe.stack_experts(moe)
+    moe_stacked = {"gate": moe["gate"], "experts_stacked": st}
+    x = jnp.asarray(rng.standard_normal((2, 5, cfg.hidden_size)),
+                    jnp.float32)
+    ref = M.moe_apply(cfg, moe, x, {"compute_dtype": jnp.float32}, None)
+    logits = M.linear_apply(moe["gate"], x)
+    got = qmoe.moe_dense_stacked_apply(cfg, moe_stacked, x, logits,
+                                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_expert_parallel_mesh(qmix, rng):
+    """Stacked experts shard over an "ep" axis; dense-stacked forward under
+    jit with GSPMD matches the unsharded loop."""
+    cfg, qparams = qmix
+    moe = qparams["layers"][0]["block_sparse_moe"]
+    st = qmoe.stack_experts(moe)
+    mesh = sharding.make_mesh(8, dp=1, tp=2, ep=4)
+    assert mesh.axis_names == ("dp", "ep", "tp")
+    spec = sharding.stacked_spec(st["w13"], "col", 2, "ep", 4)
+    assert spec.planes["w0"] == jax.sharding.PartitionSpec("ep", "tp",
+                                                           None)
+    from jax.sharding import NamedSharding
+    st_sharded = {
+        name: jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            st[name],
+            sharding.stacked_spec(st[name],
+                                  "col" if name == "w13" else "row",
+                                  2, "ep", 4))
+        for name in ("w13", "w2")
+    }
+    moe_stacked = {"gate": moe["gate"], "experts_stacked": st_sharded}
+    x = jnp.asarray(rng.standard_normal((1, 4, cfg.hidden_size)),
+                    jnp.float32)
+    logits = M.linear_apply(moe["gate"], x)
+
+    @jax.jit
+    def f(mp, x, lg):
+        return qmoe.moe_dense_stacked_apply(cfg, mp, x, lg,
+                                            compute_dtype=jnp.float32)
+
+    with mesh:
+        got = f(moe_stacked, x, logits)
+    ref = M.moe_apply(cfg, moe, x, {"compute_dtype": jnp.float32}, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
