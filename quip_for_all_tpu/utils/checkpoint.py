@@ -16,7 +16,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from safetensors import safe_open
 from safetensors.numpy import save_file
 
 from ..codebooks import get_codebook
@@ -84,143 +83,151 @@ def _flatten(params: Dict[str, Any], qcfg: dict, prefix: str = "model."
     return out
 
 
+# Table-driven HF config.json emitter: hf_key -> ModelConfig attribute name
+# (string) or callable(cfg). model_type resolves via _model_type.
+_LLAMA_KEYS = {
+    "vocab_size": "vocab_size",
+    "hidden_size": "hidden_size",
+    "intermediate_size": "intermediate_size",
+    "num_hidden_layers": "num_hidden_layers",
+    "num_attention_heads": "num_attention_heads",
+    "num_key_value_heads": "num_key_value_heads",
+    "head_dim": "head_dim",
+    "max_position_embeddings": "max_position_embeddings",
+    "rms_norm_eps": "rms_norm_eps",
+    "rope_theta": "rope_theta",
+    "attention_bias": "attention_bias",
+    "tie_word_embeddings": "tie_word_embeddings",
+    "num_local_experts": "num_local_experts",
+    "num_experts_per_tok": "num_experts_per_tok",
+}
+_HF_CONFIG_KEYS = {
+    "gpt2": {
+        "vocab_size": "vocab_size", "n_embd": "hidden_size",
+        "n_inner": "intermediate_size", "n_layer": "num_hidden_layers",
+        "n_head": "num_attention_heads",
+        "n_positions": "max_position_embeddings",
+        "layer_norm_epsilon": "rms_norm_eps",
+    },
+    "gpt_neox": {
+        "vocab_size": "vocab_size", "hidden_size": "hidden_size",
+        "intermediate_size": "intermediate_size",
+        "num_hidden_layers": "num_hidden_layers",
+        "num_attention_heads": "num_attention_heads",
+        "max_position_embeddings": "max_position_embeddings",
+        "layer_norm_eps": "rms_norm_eps", "rotary_emb_base": "rope_theta",
+        "rotary_pct": "rotary_pct",
+        "use_parallel_residual": "use_parallel_residual",
+    },
+    "gptj": {
+        "vocab_size": "vocab_size", "n_embd": "hidden_size",
+        "n_inner": "intermediate_size", "n_layer": "num_hidden_layers",
+        "n_head": "num_attention_heads",
+        "n_positions": "max_position_embeddings",
+        "layer_norm_epsilon": "rms_norm_eps",
+        "rotary_dim": lambda c: int(c.rotary_pct * c.head_dim),
+    },
+    "phi": {
+        "vocab_size": "vocab_size", "hidden_size": "hidden_size",
+        "intermediate_size": "intermediate_size",
+        "num_hidden_layers": "num_hidden_layers",
+        "num_attention_heads": "num_attention_heads",
+        "max_position_embeddings": "max_position_embeddings",
+        "layer_norm_eps": "rms_norm_eps", "rope_theta": "rope_theta",
+        "partial_rotary_factor": "rotary_pct",
+    },
+    "falcon": {
+        "vocab_size": "vocab_size", "hidden_size": "hidden_size",
+        "ffn_hidden_size": "intermediate_size",
+        "num_hidden_layers": "num_hidden_layers",
+        "num_attention_heads": "num_attention_heads",
+        "multi_query": lambda c: c.num_key_value_heads == 1,
+        "parallel_attn": "use_parallel_residual",
+        "new_decoder_architecture": "parallel_dual_ln",
+        "num_kv_heads": "num_key_value_heads",
+        "max_position_embeddings": "max_position_embeddings",
+        "layer_norm_epsilon": "rms_norm_eps", "rope_theta": "rope_theta",
+    },
+    "opt": {
+        "vocab_size": "vocab_size", "hidden_size": "hidden_size",
+        "ffn_dim": "intermediate_size",
+        "num_hidden_layers": "num_hidden_layers",
+        "num_attention_heads": "num_attention_heads",
+        "max_position_embeddings": "max_position_embeddings",
+        "do_layer_norm_before": lambda c: True,
+    },
+}
+
+
+def _model_type(cfg: ModelConfig) -> str:
+    if cfg.arch in _HF_CONFIG_KEYS:
+        return cfg.arch
+    return ("mixtral" if cfg.arch == "mixtral" else
+            "baichuan" if cfg.arch == "baichuan" else "llama")
+
+
+def hf_config_dict(cfg: ModelConfig) -> dict:
+    keys = _HF_CONFIG_KEYS.get(cfg.arch, _LLAMA_KEYS)
+    out = {"model_type": _model_type(cfg)}
+    for hf_key, src in keys.items():
+        out[hf_key] = src(cfg) if callable(src) else getattr(cfg, src)
+    return out
+
+
+def _parse_size(size) -> int:
+    if isinstance(size, int):
+        return size
+    s = str(size).strip().upper()
+    for suffix, mult in (("GB", 1 << 30), ("MB", 1 << 20), ("KB", 1 << 10),
+                         ("B", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def _save_sharded(flat: Dict[str, np.ndarray], save_dir: str,
+                  max_bytes: int) -> None:
+    """HF-layout sharded save: size-capped ``model-XXXXX-of-YYYYY``
+    files + ``model.safetensors.index.json``; single ``model.safetensors``
+    when everything fits in one shard (reference ``quantizer.py:718-756``
+    saves 10GB accelerate shards; hf_import reads this layout back)."""
+    total = sum(int(v.nbytes) for v in flat.values())
+    index_path = os.path.join(save_dir, "model.safetensors.index.json")
+    if total <= max_bytes:
+        save_file(flat, os.path.join(save_dir, "model.safetensors"))
+        if os.path.exists(index_path):
+            os.remove(index_path)
+        return
+    shards = [{}]
+    cur = 0
+    for k, v in flat.items():
+        if shards[-1] and cur + int(v.nbytes) > max_bytes:
+            shards.append({})
+            cur = 0
+        shards[-1][k] = v
+        cur += int(v.nbytes)
+    n = len(shards)
+    weight_map = {}
+    for i, sh in enumerate(shards, 1):
+        fn = f"model-{i:05d}-of-{n:05d}.safetensors"
+        save_file(sh, os.path.join(save_dir, fn))
+        weight_map.update({k: fn for k in sh})
+    single = os.path.join(save_dir, "model.safetensors")
+    if os.path.exists(single):
+        os.remove(single)
+    with open(index_path, "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f, indent=2)
+
+
 def save_quantized(cfg: ModelConfig, params: Dict[str, Any],
-                   quant_config: dict, save_dir: str) -> None:
+                   quant_config: dict, save_dir: str,
+                   max_shard_size="10GB") -> None:
     os.makedirs(save_dir, exist_ok=True)
     flat = _flatten(params, quant_config)
-    save_file(flat, os.path.join(save_dir, "model.safetensors"))
-    if cfg.arch == "gpt2":
-        hf_cfg = {
-            "model_type": "gpt2",
-            "vocab_size": cfg.vocab_size,
-            "n_embd": cfg.hidden_size,
-            "n_inner": cfg.intermediate_size,
-            "n_layer": cfg.num_hidden_layers,
-            "n_head": cfg.num_attention_heads,
-            "n_positions": cfg.max_position_embeddings,
-            "layer_norm_epsilon": cfg.rms_norm_eps,
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    if cfg.arch == "gpt_neox":
-        hf_cfg = {
-            "model_type": "gpt_neox",
-            "vocab_size": cfg.vocab_size,
-            "hidden_size": cfg.hidden_size,
-            "intermediate_size": cfg.intermediate_size,
-            "num_hidden_layers": cfg.num_hidden_layers,
-            "num_attention_heads": cfg.num_attention_heads,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "layer_norm_eps": cfg.rms_norm_eps,
-            "rotary_emb_base": cfg.rope_theta,
-            "rotary_pct": cfg.rotary_pct,
-            "use_parallel_residual": cfg.use_parallel_residual,
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    if cfg.arch == "gptj":
-        hf_cfg = {
-            "model_type": "gptj",
-            "vocab_size": cfg.vocab_size,
-            "n_embd": cfg.hidden_size,
-            "n_inner": cfg.intermediate_size,
-            "n_layer": cfg.num_hidden_layers,
-            "n_head": cfg.num_attention_heads,
-            "n_positions": cfg.max_position_embeddings,
-            "layer_norm_epsilon": cfg.rms_norm_eps,
-            "rotary_dim": int(cfg.rotary_pct * cfg.head_dim),
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    if cfg.arch == "phi":
-        hf_cfg = {
-            "model_type": "phi",
-            "vocab_size": cfg.vocab_size,
-            "hidden_size": cfg.hidden_size,
-            "intermediate_size": cfg.intermediate_size,
-            "num_hidden_layers": cfg.num_hidden_layers,
-            "num_attention_heads": cfg.num_attention_heads,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "layer_norm_eps": cfg.rms_norm_eps,
-            "rope_theta": cfg.rope_theta,
-            "partial_rotary_factor": cfg.rotary_pct,
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    if cfg.arch == "falcon":
-        hf_cfg = {
-            "model_type": "falcon",
-            "vocab_size": cfg.vocab_size,
-            "hidden_size": cfg.hidden_size,
-            "ffn_hidden_size": cfg.intermediate_size,
-            "num_hidden_layers": cfg.num_hidden_layers,
-            "num_attention_heads": cfg.num_attention_heads,
-            "multi_query": cfg.num_key_value_heads == 1,
-            "parallel_attn": cfg.use_parallel_residual,
-            "new_decoder_architecture": cfg.parallel_dual_ln,
-            "num_kv_heads": cfg.num_key_value_heads,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "layer_norm_epsilon": cfg.rms_norm_eps,
-            "rope_theta": cfg.rope_theta,
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    if cfg.arch == "opt":
-        hf_cfg = {
-            "model_type": "opt",
-            "vocab_size": cfg.vocab_size,
-            "hidden_size": cfg.hidden_size,
-            "ffn_dim": cfg.intermediate_size,
-            "num_hidden_layers": cfg.num_hidden_layers,
-            "num_attention_heads": cfg.num_attention_heads,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "do_layer_norm_before": True,
-            "quantization_config": quant_config,
-        }
-        with open(os.path.join(save_dir, "config.json"), "w") as f:
-            json.dump(hf_cfg, f, indent=2)
-        with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
-            json.dump(quant_config, f, indent=2)
-        return
-    hf_cfg = {
-        "model_type": ("mixtral" if cfg.arch == "mixtral" else
-                       "baichuan" if cfg.arch == "baichuan" else "llama"),
-        "vocab_size": cfg.vocab_size,
-        "hidden_size": cfg.hidden_size,
-        "intermediate_size": cfg.intermediate_size,
-        "num_hidden_layers": cfg.num_hidden_layers,
-        "num_attention_heads": cfg.num_attention_heads,
-        "num_key_value_heads": cfg.num_key_value_heads,
-        "head_dim": cfg.head_dim,
-        "max_position_embeddings": cfg.max_position_embeddings,
-        "rms_norm_eps": cfg.rms_norm_eps,
-        "rope_theta": cfg.rope_theta,
-        "attention_bias": cfg.attention_bias,
-        "tie_word_embeddings": cfg.tie_word_embeddings,
-        "num_local_experts": cfg.num_local_experts,
-        "num_experts_per_tok": cfg.num_experts_per_tok,
-        "quantization_config": quant_config,
-    }
+    _save_sharded(flat, save_dir, _parse_size(max_shard_size))
+    hf_cfg = hf_config_dict(cfg)
+    hf_cfg["quantization_config"] = quant_config
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
     with open(os.path.join(save_dir, QUIP_CONFIG), "w") as f:
@@ -318,11 +325,8 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     cfg = ModelConfig.from_pretrained_dir(save_dir)
     qcfg = load_quant_config(save_dir)
 
-    tensors: Dict[str, np.ndarray] = {}
-    st_path = os.path.join(save_dir, "model.safetensors")
-    with safe_open(st_path, framework="numpy") as f:
-        for k in f.keys():
-            tensors[k] = f.get_tensor(k)
+    from .hf_import import _open_all_tensors
+    tensors = _open_all_tensors(save_dir)  # single file or sharded index
 
     qlinear_names = sorted({k[: -len(".Qidxs")] for k in tensors
                             if k.endswith(".Qidxs")})
