@@ -66,3 +66,51 @@ def rope_tables(cfg: ModelConfig, positions):
         return gptj.rope_tables(cfg, positions)
     from . import llama
     return llama.rope_tables(cfg, positions)
+
+
+# family -> (final norm param key, norm kind). Families absent from the
+# table (llama/mixtral/baichuan) use ("norm", "rms").
+_FINAL_NORM = {
+    "gpt2": ("ln_f", "layer"),
+    "gpt_neox": ("final_layer_norm", "layer"),
+    "opt": ("final_layer_norm", "layer"),
+    "falcon": ("ln_f", "layer"),
+    "phi": ("final_layernorm", "layer"),
+    "gptj": ("ln_f", "layer"),
+}
+
+# family -> key of the tied-embedding matrix used as the output head when
+# no standalone head linear exists.
+_TIED_EMBED = {
+    "gpt2": "wte",
+    "gptj": "wte",
+    "falcon": "word_embeddings",
+}
+
+
+def final_hidden(cfg: ModelConfig, params, x):
+    """Apply the family's final norm to hidden states x (..., D)."""
+    key, kind = _FINAL_NORM.get(cfg.arch, ("norm", "rms"))
+    if kind == "layer":
+        from . import gpt2
+        return gpt2.layer_norm(params[key], x, cfg.rms_norm_eps)
+    from . import llama
+    return llama.rms_norm(params[key]["weight"], x, cfg.rms_norm_eps)
+
+
+def untied_head_key(cfg: ModelConfig, params):
+    """Param key of the standalone output-head linear, or None when the
+    head is tied to the embedding (and therefore not quantizable)."""
+    key = "embed_out" if cfg.arch == "gpt_neox" else "lm_head"
+    lin = params.get(key)
+    return key if isinstance(lin, dict) and "weight" in lin else None
+
+
+def head_logits(cfg: ModelConfig, params, h, linear_kw=None):
+    """Project final-norm'd hidden states to vocabulary logits."""
+    from . import llama
+    key = untied_head_key(cfg, params)
+    if key is not None:
+        return llama.linear_apply(params[key], h, **(linear_kw or {}))
+    emb = _TIED_EMBED.get(cfg.arch, "embed_tokens")
+    return h @ params[emb]["weight"].astype(h.dtype).T

@@ -36,10 +36,12 @@ from ..transforms.incoherence import (HadSpec, hadamard_transform,
                                       matmul_hadU, matmul_hadUt,
                                       matmul_hadUt_grouped)
 
-# opt-in (round-2 measurement pending): emit the left transform directly
-# in the kernel's grouped-permuted layout, skipping the explicit
-# reshape/transpose x-permutation before the Pallas call
-_GROUPED_PROLOGUE = os.environ.get("QFA_GROUPED_PROLOGUE", "0") == "1"
+# Emit the left transform directly in the kernel's grouped-permuted
+# layout, skipping the explicit reshape/transpose x-permutation before the
+# Pallas call. Default ON since round 2: measured 113.9 -> 144.6 tok/s on
+# Llama-2-7B E8P12 bs=1 decode (one v5e chip) — the single biggest decode
+# win. QFA_GROUPED_PROLOGUE=0 restores the plain path.
+_GROUPED_PROLOGUE = os.environ.get("QFA_GROUPED_PROLOGUE", "1") == "1"
 
 
 def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype):

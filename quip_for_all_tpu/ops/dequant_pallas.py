@@ -41,13 +41,17 @@ from .qtensor import QuantizedTensor
 _INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
 
 
-def _nibble(w_u32, i: int):
-    """i-th nibble of a uint32 word vector, minimal-op form."""
+def _nibble(w_i32, i: int):
+    """i-th nibble of an int32 word vector, minimal-op form.
+
+    int32 (not uint32) because Mosaic has no uint32->f32 lowering; logical
+    shifts keep the i=7 nibble positive, so the values are bit-identical.
+    """
     if i == 0:
-        return w_u32 & 0xF
+        return w_i32 & 0xF
     if i == 7:
-        return w_u32 >> 28          # logical shift on uint32: no mask
-    return (w_u32 >> (4 * i)) & 0xF
+        return jax.lax.shift_right_logical(w_i32, 28)   # no mask needed
+    return jax.lax.shift_right_logical(w_i32, 4 * i) & 0xF
 
 
 def _make_kernel(affine, G: int, out_dtype):
@@ -59,7 +63,7 @@ def _make_kernel(affine, G: int, out_dtype):
         x = x_ref[...].astype(jnp.float32)            # (m, 8G), cast once
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
-            w = pltpu.bitcast(w_ref[...], jnp.uint32)
+            w = pltpu.bitcast(w_ref[...], jnp.int32)
             acc = None
             for i in range(8):
                 v = _nibble(w, i).astype(jnp.float32)

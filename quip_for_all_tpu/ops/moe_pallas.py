@@ -63,7 +63,7 @@ def _make_moe_kernel(affine, G: int, out_dtype):
         x = x_ref[...].astype(jnp.float32)            # (1, 8G)
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
-            w = pltpu.bitcast(w_ref[0], jnp.uint32)   # (TN, G)
+            w = pltpu.bitcast(w_ref[0], jnp.int32)    # (TN, G)
             acc = None
             for i in range(8):
                 v = _nibble(w, i).astype(jnp.float32)

@@ -231,17 +231,68 @@ class QuipQuantizer:
                 return True
         return False
 
-    def _merge_signs(self, cfg: ModelConfig,
-                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        """Shared sign vectors for merge_suv (parity: utils.py:160-196 for
-        llama/mistral/qwen2/yi; SV of a producer becomes SU of consumers)."""
-        def s(n):
-            return np.sign(rng.standard_normal(n) + 1e-5).astype(np.float32)
+    def _merge_spec(self, cfg: ModelConfig) -> Dict[str, Any]:
+        """Per-arch merge_suv graph (parity: utils.py:160-196 — the
+        reference covers llama/mistral, qwen, mixtral, yi; mistral/qwen2/yi
+        all load as arch="llama" here, and we add baichuan).
+
+        Returns {"signs": {key: size}, "map": {path: (su_key, sv_key)},
+        "norm_folds": [(norm_path, key)], "linear_folds": [(path, key)]}.
+        Producer SV == consumer SU (same sign vector) so the pair cancels
+        at the interface; block-input signs are folded into the producing
+        norm's weight (signs are +-1 so mul == div), and signs feeding an
+        UNQUANTIZED linear (the mixtral router gate) are folded into its
+        weight columns like the reference's `weight.div_(SU)`
+        (quantizer.py:588-595)."""
         D, I = cfg.hidden_size, cfg.intermediate_size
-        signs = {"qkv_in": s(D), "mlp_in": s(D), "down_in": s(I)}
-        if cfg.num_key_value_heads == cfg.num_attention_heads:
-            signs["o_in"] = s(cfg.num_attention_heads * cfg.head_dim)
-        return signs
+        full_o = cfg.num_key_value_heads == cfg.num_attention_heads
+        o_dim = cfg.num_attention_heads * cfg.head_dim
+        norm_folds = [("input_layernorm", "qkv_in"),
+                      ("post_attention_layernorm", "mlp_in")]
+        if cfg.arch in ("llama", "baichuan"):
+            signs = {"qkv_in": D, "mlp_in": D, "down_in": I}
+            if full_o:
+                signs["o_in"] = o_dim
+            if cfg.arch == "baichuan":
+                mp = {"self_attn.W_pack": ("qkv_in", None)}
+            else:
+                mp = {
+                    "self_attn.q_proj": ("qkv_in", None),
+                    "self_attn.k_proj": ("qkv_in", None),
+                    "self_attn.v_proj": ("qkv_in",
+                                         "o_in" if full_o else None),
+                }
+            if full_o and cfg.arch == "llama":
+                mp["self_attn.o_proj"] = ("o_in", None)
+            mp.update({
+                "mlp.gate_proj": ("mlp_in", None),
+                "mlp.up_proj": ("mlp_in", "down_in"),
+                "mlp.down_proj": ("down_in", None),
+            })
+            return {"signs": signs, "map": mp, "norm_folds": norm_folds,
+                    "linear_folds": []}
+        if cfg.arch == "mixtral":
+            signs = {"qkv_in": D, "mlp_in": D}
+            if full_o:
+                signs["o_in"] = o_dim
+            mp = {
+                "self_attn.q_proj": ("qkv_in", None),
+                "self_attn.k_proj": ("qkv_in", None),
+                "self_attn.v_proj": ("qkv_in", "o_in" if full_o else None),
+            }
+            if full_o:
+                mp["self_attn.o_proj"] = ("o_in", None)
+            for e in range(cfg.num_local_experts):
+                signs[f"down_in_e{e}"] = I
+                pre = f"block_sparse_moe.experts.{e}"
+                mp[f"{pre}.w1"] = ("mlp_in", None)
+                mp[f"{pre}.w3"] = ("mlp_in", f"down_in_e{e}")
+                mp[f"{pre}.w2"] = (f"down_in_e{e}", None)
+            return {"signs": signs, "map": mp, "norm_folds": norm_folds,
+                    "linear_folds": [("block_sparse_moe.gate", "mlp_in")]}
+        raise ValueError(
+            f"merge_suv not supported for arch {cfg.arch!r}; set "
+            "merge_suv=False (parity: utils.py:195-196)")
 
     def quantize_model(self, cfg: ModelConfig, params: Dict[str, Any],
                       calib_tokens: np.ndarray,
@@ -262,8 +313,7 @@ class QuipQuantizer:
         """
         if self.ft_epochs > 0 and self.merge_suv:
             raise ValueError("finetune mode is incompatible with merge_suv")
-        if self.merge_suv and cfg.arch != "llama":
-            raise ValueError("merge_suv currently supports the llama family")
+        merge_spec = self._merge_spec(cfg) if self.merge_suv else None
         rng = np.random.default_rng(self.seed)
         n_batches = calib_tokens.shape[0] // self.batch_size
         n_hess = min(n_batches, max(1, self.nsamples // self.batch_size))
@@ -317,7 +367,11 @@ class QuipQuantizer:
                     params["layers"][i] = jax.tree_util.tree_map(
                         jnp.asarray, pickle.load(f))
                 continue
-            merge = self._merge_signs(cfg, rng) if self.merge_suv else {}
+            merge = {}
+            if merge_spec:
+                merge = {k: np.sign(rng.standard_normal(n) + 1e-5
+                                    ).astype(np.float32)
+                         for k, n in merge_spec["signs"].items()}
             # ---- capture pass: Hessians (first n_hess batches) + float
             # outputs for every batch (targets + next-block inputs)
             hs: Dict[str, hessian.HessianState] = {}
@@ -349,15 +403,7 @@ class QuipQuantizer:
                     hs[key] = hessian.accumulate(hs[key], act)
 
             # ---- quantize groups sequentially (+ block finetune between)
-            merge_map = {
-                "self_attn.q_proj": ("qkv_in", None),
-                "self_attn.k_proj": ("qkv_in", None),
-                "self_attn.v_proj": ("qkv_in", "o_in"),
-                "self_attn.o_proj": ("o_in", None),
-                "mlp.gate_proj": ("mlp_in", None),
-                "mlp.up_proj": ("mlp_in", "down_in"),
-                "mlp.down_proj": ("down_in", None),
-            }
+            merge_map = merge_spec["map"] if merge_spec else {}
             for gi, g in enumerate(groups):
                 key = g["capture"]
                 if key == "moe_input":
@@ -433,14 +479,18 @@ class QuipQuantizer:
                     params["layers"][i] = blk
 
             if merge:
-                # fold interface signs into the producing norms
-                # (quantizer.py:579-595; signs are +-1 so mul == div)
-                for norm_name, s_key in (("input_layernorm", "qkv_in"),
-                                         ("post_attention_layernorm",
-                                          "mlp_in")):
+                # fold interface signs into the producing norms and into
+                # any unquantized consumer linears (the mixtral router
+                # gate) — quantizer.py:579-595; signs are +-1 so mul == div
+                for norm_name, s_key in merge_spec["norm_folds"]:
                     wn = np.asarray(blk[norm_name]["weight"],
                                     dtype=np.float32) * merge[s_key]
                     blk[norm_name]["weight"] = jnp.asarray(wn, dtype=dtype)
+                for path, s_key in merge_spec["linear_folds"]:
+                    lin = _get_nested(blk, path)
+                    wl = np.asarray(lin["weight"],
+                                    dtype=np.float32) * merge[s_key][None, :]
+                    lin["weight"] = jnp.asarray(wl, dtype=dtype)
 
             logger.info("block %d/%d quantized in %.1fs", i + 1,
                         cfg.num_hidden_layers, time.time() - t0)
@@ -455,23 +505,23 @@ class QuipQuantizer:
             # next block consumes this block's float outputs
             layer_inputs = outputs
 
-        if self.quantize_lm_head and params.get("lm_head") is not None \
-                and isinstance(params["lm_head"], dict):
+        head_key = R.untied_head_key(cfg, params)
+        if self.quantize_lm_head and head_key is not None:
             hst = hessian.HessianState.zeros(cfg.hidden_size)
-            norm_fn = jax.jit(lambda x: M.rms_norm(
-                params["norm"]["weight"], jnp.asarray(x), cfg.rms_norm_eps))
+            norm_fn = jax.jit(
+                lambda x: R.final_hidden(cfg, params, jnp.asarray(x)))
             for x in layer_inputs[:n_hess]:
                 hst = hessian.accumulate(hst, norm_fn(x))
             H = np.asarray(hessian.finalize(hst))
-            lin = params["lm_head"]
+            lin = params[head_key]
             W = np.asarray(lin["weight"], dtype=np.float32)
             attrs, _ = quantize_layer(W, H, self.cb, self._quant_cfg(), rng)
-            params["lm_head"] = pack_to_qlinear(
+            params[head_key] = pack_to_qlinear(
                 attrs, self.cb,
                 bias=None if lin.get("bias") is None
                 else np.asarray(lin["bias"], dtype=np.float32),
                 per_channel=self.per_channel)
-            logger.info("lm_head quantized")
+            logger.info("%s quantized", head_key)
 
         if self.ft_epochs > 0:
             params = self._finetune_end2end(cfg, params, batches,
@@ -485,48 +535,12 @@ class QuipQuantizer:
         import optax
         from . import finetune as FT
 
+        from ..models import registry as R
+
         @jax.jit
         def head_probs(x):
-            if cfg.arch == "gpt2":
-                from ..models import gpt2 as G
-                h = G.layer_norm(params["ln_f"], jnp.asarray(x),
-                                 cfg.rms_norm_eps)
-                logits = h @ params["wte"]["weight"].astype(h.dtype).T
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if cfg.arch == "gpt_neox":
-                from ..models import gpt2 as G
-                h = G.layer_norm(params["final_layer_norm"],
-                                 jnp.asarray(x), cfg.rms_norm_eps)
-                logits = M.linear_apply(params["embed_out"], h)
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if cfg.arch == "opt":
-                from ..models import gpt2 as G
-                h = G.layer_norm(params["final_layer_norm"],
-                                 jnp.asarray(x), cfg.rms_norm_eps)
-                logits = h @ params["embed_tokens"]["weight"].astype(
-                    h.dtype).T
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if cfg.arch == "falcon":
-                from ..models import gpt2 as G
-                h = G.layer_norm(params["ln_f"], jnp.asarray(x),
-                                 cfg.rms_norm_eps)
-                logits = h @ params["word_embeddings"]["weight"].astype(
-                    h.dtype).T
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if cfg.arch in ("phi", "gptj"):
-                from ..models import gpt2 as G
-                nrm = params.get("final_layernorm") or params["ln_f"]
-                h = G.layer_norm(nrm, jnp.asarray(x), cfg.rms_norm_eps)
-                logits = M.linear_apply(params["lm_head"], h)
-                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            h = M.rms_norm(params["norm"]["weight"], jnp.asarray(x),
-                           cfg.rms_norm_eps)
-            head = params.get("lm_head")
-            if head is None:
-                logits = h @ params["embed_tokens"]["weight"].astype(
-                    h.dtype).T
-            else:
-                logits = M.linear_apply(head, h)
+            h = R.final_hidden(cfg, params, jnp.asarray(x))
+            logits = R.head_logits(cfg, params, h)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         ft_ids = batches[n_hess:]

@@ -77,3 +77,56 @@ def test_merge_suv_rejects_ft():
                       ft_epochs=2).quantize_model(
             tiny_config(), _fresh(tiny_config()),
             synthetic_tokens(8, 16, 256, 0))
+
+
+def test_merge_suv_mixtral_consistency():
+    """merge_suv on mixtral: expert interface signs (per-expert w3->w2,
+    shared moe input incl. the unquantized router gate fold) must keep
+    quality on par with non-merged (VERDICT r1 #6; parity:
+    utils.py:176-185)."""
+    from quip_for_all_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="mixtral", vocab_size=256, hidden_size=64,
+                      intermediate_size=96, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, num_local_experts=4,
+                      num_experts_per_tok=2)
+    calib = synthetic_tokens(16, 32, cfg.vocab_size, seed=1)
+    eval_toks = synthetic_tokens(8, 32, cfg.vocab_size, seed=2)
+
+    qm = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=0, merge_suv=True,
+                       modules_to_not_convert=["gate"])
+    pm = qm.quantize_model(cfg, M.init_llama_params(cfg, seed=0), calib)
+    ppl_m = perplexity(cfg, pm, eval_toks, batch_size=4)
+
+    qn = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                       quip_tune_iters=0, ft_epochs=0, merge_suv=False,
+                       modules_to_not_convert=["gate"])
+    pn = qn.quantize_model(cfg, M.init_llama_params(cfg, seed=0), calib)
+    ppl_n = perplexity(cfg, pn, eval_toks, batch_size=4)
+
+    assert np.isfinite(ppl_m)
+    assert ppl_m < ppl_n * 1.25, (ppl_m, ppl_n)
+
+
+def test_merge_suv_baichuan_runs():
+    """merge_suv over the fused-W_pack baichuan family (beyond the
+    reference, which raises for baichuan)."""
+    cfg = tiny_config(arch="baichuan")
+    calib = synthetic_tokens(16, 32, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0, merge_suv=True)
+    pm = q.quantize_model(cfg, M.init_llama_params(cfg, seed=0), calib)
+    ppl = perplexity(cfg, pm, synthetic_tokens(8, 32, cfg.vocab_size, 2),
+                     batch_size=4)
+    assert np.isfinite(ppl)
+
+
+def test_merge_suv_unsupported_arch_raises():
+    cfg = tiny_config(arch="gpt2")
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, merge_suv=True)
+    calib = synthetic_tokens(8, 32, cfg.vocab_size, seed=1)
+    from quip_for_all_tpu.models import gpt2 as G
+    with pytest.raises(ValueError, match="merge_suv"):
+        q.quantize_model(cfg, G.init_gpt2_params(cfg, seed=0), calib)

@@ -38,3 +38,42 @@ def test_quantize_lm_head_roundtrip(tmp_path):
     l2, _ = M.model_apply(cfg2, lp, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_lm_head_phi():
+    """Head quantization routed through the registry's per-arch final
+    norm/head (VERDICT r1 #6 — used to KeyError on phi's untied biased
+    head + final_layernorm)."""
+    from quip_for_all_tpu.models import phi as P
+    from quip_for_all_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="phi", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128, rotary_pct=0.5)
+    calib = synthetic_tokens(8, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0, quantize_lm_head=True)
+    params = q.quantize_model(cfg, P.init_phi_params(cfg, seed=0), calib)
+    assert isinstance(params["lm_head"], QuantLinearParams)
+    assert params["lm_head"].bias is not None  # phi head keeps its bias
+    ppl = perplexity(cfg, params, synthetic_tokens(8, 24, cfg.vocab_size, 2),
+                     batch_size=4)
+    assert np.isfinite(ppl)
+
+
+def test_quantize_lm_head_gpt_neox():
+    """embed_out (gpt_neox's untied head name) is found by the registry."""
+    from quip_for_all_tpu.models import gpt_neox as N
+    from quip_for_all_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="gpt_neox", vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128)
+    calib = synthetic_tokens(8, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0, quantize_lm_head=True)
+    params = q.quantize_model(cfg, N.init_gpt_neox_params(cfg, seed=0), calib)
+    assert isinstance(params["embed_out"], QuantLinearParams)
+    ppl = perplexity(cfg, params, synthetic_tokens(8, 24, cfg.vocab_size, 2),
+                     batch_size=4)
+    assert np.isfinite(ppl)
