@@ -19,6 +19,8 @@ def main(argv=None):
     ap.add_argument("--seqlen", type=int, default=2048)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--split", default="validation",
+                    choices=["train", "validation"])
     args = ap.parse_args(argv)
 
     from ..data.calibration import get_calibration_tokens
@@ -32,7 +34,8 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(args.tokenizer
                                                   or args.model_path)
     toks = get_calibration_tokens(args.dataset, tokenizer, args.nsamples,
-                                  args.seqlen, vocab_size=cfg.vocab_size)
+                                  args.seqlen, split=args.split,
+                                  vocab_size=cfg.vocab_size)
     ppl = perplexity(cfg, params, toks, batch_size=args.batch_size)
     print(json.dumps({"dataset": args.dataset, "seqlen": args.seqlen,
                       "nsamples": args.nsamples,

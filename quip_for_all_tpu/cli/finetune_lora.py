@@ -1,0 +1,74 @@
+"""LoRA finetune CLI — parity with ``/root/reference/example_finetune.py``
+(PEFT LoRA + HF Trainer on a frozen quantized model), as a first-class
+driver instead of a monkey-patched example.
+
+    python -m quip_for_all_tpu.cli.finetune_lora --model-path ckpt/ \
+        --dataset wikitext2 --nsamples 256 --rank 8 --epochs 3 \
+        --save-dir ckpt/lora/
+
+The trained adapters land in --save-dir as lora_adapters.safetensors +
+lora_config.json; reload with quantize.lora_train.load_lora on top of the
+base checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--save-dir", required=True)
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--split", default="train",
+                    choices=["train", "validation"])
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--nsamples", type=int, default=256)
+    ap.add_argument("--valid-samples", type=int, default=32)
+    ap.add_argument("--seqlen", type=int, default=512)
+    ap.add_argument("--rank", type=int, default=8)
+    ap.add_argument("--alpha", type=float, default=16.0)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--early-stop", type=int, default=3)
+    ap.add_argument("--targets", nargs="*", default=None,
+                    help="linear name suffixes to adapt (default: llama "
+                    "attn+mlp projections)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..data.calibration import get_calibration_tokens
+    from ..nn.lora import DEFAULT_TARGETS
+    from ..quantize.lora_train import save_lora, train_lora
+    from ..utils.checkpoint import load_quantized
+
+    cfg, params, _ = load_quantized(args.model_path)
+    tokenizer = None
+    if args.dataset != "synthetic":
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer
+                                                  or args.model_path)
+    total = args.nsamples + args.valid_samples
+    toks = get_calibration_tokens(args.dataset, tokenizer, total,
+                                  args.seqlen, seed=args.seed,
+                                  split=args.split,
+                                  vocab_size=cfg.vocab_size)
+    train_toks, valid_toks = toks[:args.nsamples], toks[args.nsamples:]
+    targets = tuple(args.targets) if args.targets else DEFAULT_TARGETS
+
+    params = train_lora(
+        cfg, params, train_toks,
+        valid_tokens=valid_toks if args.valid_samples > 0 else None,
+        rank=args.rank, alpha=args.alpha, targets=targets, lr=args.lr,
+        epochs=args.epochs, batch_size=args.batch_size,
+        weight_decay=args.weight_decay, early_stop=args.early_stop,
+        seed=args.seed)
+    save_lora(params, args.save_dir, args.rank, args.alpha, targets)
+    print(f"saved LoRA adapters to {args.save_dir}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

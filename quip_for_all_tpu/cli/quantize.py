@@ -23,6 +23,8 @@ def main(argv=None):
                     choices=["D4", "E8P12", "HI", "E8P12RVQ3B",
                              "E8P12RVQ4B"])
     ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--split", default="train",
+                    choices=["train", "validation"])
     ap.add_argument("--nsamples", type=int, default=4096)
     ap.add_argument("--seqlen", type=int, default=2048)
     ap.add_argument("--batch-size", type=int, default=4)
@@ -78,7 +80,7 @@ def main(argv=None):
     total = args.nsamples + (args.ft_train_size + args.ft_valid_size
                              if args.ft_epochs > 0 else 0)
     calib = get_calibration_tokens(args.dataset, tokenizer, total,
-                                   args.seqlen, seed=args.seed,
+                                   args.seqlen, seed=args.seed, split=args.split,
                                    vocab_size=cfg.vocab_size)
     params = q.quantize_model(cfg, params, calib)
     save_quantized(cfg, params, q.to_dict(), args.save_dir)

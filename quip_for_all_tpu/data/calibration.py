@@ -1,30 +1,54 @@
 """Calibration datasets for Hessian estimation.
 
-Parity target: ``/root/reference/data.py`` (wikitext2 / c4 / c4-new / ptb /
-ptb-new / redpajama loaders with seeded random window sampling). HF
-``datasets`` loading is kept behind a lazy import (this build environment is
-zero-egress; loaders work when a local HF cache or disk dataset is present).
+Parity target: ``/root/reference/data.py:85-283`` (wikitext2 / c4 / c4-new /
+ptb / ptb-new / redpajama loaders, each with train/validation split
+selection and seeded random window sampling). HF ``datasets`` loading is
+kept behind the ``_load_hf`` seam (this build environment is zero-egress;
+loaders work when a local HF cache or disk dataset is present, and tests
+exercise the full sampling logic through an injected in-memory dataset).
 A deterministic synthetic stream is provided for tests/benchmarks.
+
+Two sampling modes, matching the reference exactly:
+  * join-mode (wikitext2, ptb, ptb-new): concatenate the whole split into
+    one token stream, take nsamples random seqlen windows
+    (data.py:85-104, 173-214);
+  * document-mode (c4, c4-new, redpajama): resample random documents until
+    one tokenizes to >= seqlen tokens, take one random window from it
+    (data.py:106-136, 138-170, 215-233).
 """
 from __future__ import annotations
 
 import logging
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# the single c4 shard files the reference pins (data.py:107-121) — keeps a
+# zero-egress-sized download instead of the full 305GB corpus
+_C4_FILES = {
+    "train": {"train": "en/c4-train.00000-of-01024.json.gz"},
+    "validation": {"validation": "en/c4-validation.00000-of-00008.json.gz"},
+}
+
+# name -> (hf_path, hf_config, {split: hf_split}, text_field, mode)
 _HF_SPECS = {
-    # name -> (path, config, split, text_field)
-    "wikitext2": ("wikitext", "wikitext-2-raw-v1", "train", "text"),
-    "wikitext2-test": ("wikitext", "wikitext-2-raw-v1", "test", "text"),
-    "c4": ("allenai/c4", "en", "train", "text"),
-    "c4-new": ("allenai/c4", "en", "train", "text"),
-    "ptb": ("ptb_text_only", "penn_treebank", "train", "sentence"),
-    "ptb-new": ("ptb_text_only", "penn_treebank", "train", "sentence"),
+    "wikitext2": ("wikitext", "wikitext-2-raw-v1",
+                  {"train": "train", "validation": "test"}, "text", "join"),
+    "c4": ("allenai/c4", "allenai--c4",
+           {"train": "train", "validation": "validation"}, "text", "doc"),
+    "c4-new": ("allenai/c4", "allenai--c4",
+               {"train": "train", "validation": "validation"}, "text",
+               "doc"),
+    "ptb": ("ptb_text_only", "penn_treebank",
+            {"train": "train", "validation": "validation"}, "sentence",
+            "join"),
+    "ptb-new": ("ptb_text_only", "penn_treebank",
+                {"train": "train", "validation": "test"}, "sentence",
+                "join"),
     "redpajama": ("togethercomputer/RedPajama-Data-1T-Sample", None,
-                  "train", "text"),
+                  {"train": "train"}, "text", "doc"),
 }
 
 
@@ -51,6 +75,27 @@ def synthetic_tokens(nsamples: int, seqlen: int, vocab_size: int,
     return toks % vocab_size
 
 
+def _load_hf(name: str, split: str):
+    """Load the HF dataset for a spec name/split. Patchable seam for tests
+    (and the only place the `datasets` package is touched)."""
+    path, config, split_map, _, _ = _HF_SPECS[name]
+    hf_split = split_map[split]
+    import datasets as hf_datasets  # lazy; needs local cache in zero-egress
+    if name in ("c4", "c4-new"):
+        return hf_datasets.load_dataset(
+            path, config, data_files=_C4_FILES[split], split=hf_split)
+    if config is None:
+        return hf_datasets.load_dataset(path, split=hf_split)
+    return hf_datasets.load_dataset(path, config, split=hf_split)
+
+
+def _join_text(name: str, texts) -> str:
+    if name.startswith("wikitext"):
+        # reference joins with " \n" for empty lines (data.py:93)
+        return "".join(" \n" if s == "" else s for s in texts)
+    return " ".join(texts)
+
+
 def _sample_windows(joined_ids: np.ndarray, nsamples: int, seqlen: int,
                     seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -62,36 +107,50 @@ def _sample_windows(joined_ids: np.ndarray, nsamples: int, seqlen: int,
         np.int32)
 
 
+def _tokenize(tokenizer: Any, text: str) -> np.ndarray:
+    ids = tokenizer(text).input_ids
+    return np.asarray(ids, dtype=np.int64)
+
+
 def get_calibration_tokens(dataset: str, tokenizer: Any, nsamples: int,
                            seqlen: int, seed: int = 0,
+                           split: str = "train",
                            vocab_size: Optional[int] = None) -> np.ndarray:
-    """(nsamples, seqlen) int32 token windows (parity: data.py:236-283)."""
+    """(nsamples, seqlen) int32 token windows
+    (parity: data.py:236-283 get_dataset incl. split selection)."""
     if dataset in ("", "synthetic"):
         assert vocab_size is not None, "synthetic data needs vocab_size"
         return synthetic_tokens(nsamples, seqlen, vocab_size, seed)
+    if dataset == "wikitext2-test":      # back-compat alias
+        dataset, split = "wikitext2", "validation"
     if dataset not in _HF_SPECS:
         raise ValueError(
             f"unknown dataset {dataset!r}; options: "
             f"{sorted(_HF_SPECS)} or 'synthetic'")
-    path, config, split, field = _HF_SPECS[dataset]
-    import datasets as hf_datasets  # lazy; needs local cache in zero-egress
-    ds = hf_datasets.load_dataset(path, config, split=split)
-    if dataset == "wikitext2" or dataset.startswith("wikitext"):
-        text = "\n\n".join(ds[field])
-        ids = np.asarray(tokenizer(text).input_ids, dtype=np.int64)
+    if split not in ("train", "validation"):
+        raise ValueError(
+            f"split must be 'train' or 'validation', got {split!r}")
+    split_map, field, mode = _HF_SPECS[dataset][2:]
+    if split not in split_map:
+        raise ValueError(f"{dataset} has no {split!r} split")
+    ds = _load_hf(dataset, split)
+    if mode == "join":
+        text = _join_text(dataset, ds[field])
+        ids = _tokenize(tokenizer, text)
         return _sample_windows(ids, nsamples, seqlen, seed)
-    # per-document sampling for large corpora (parity: data.py:106-135)
+    # document-mode (c4/redpajama): random documents, one window each
+    # (parity: data.py:123-135 — resample until the doc is long enough)
     rng = np.random.default_rng(seed)
-    out = []
-    idx_pool = rng.permutation(len(ds))
-    for i in idx_pool:
-        ids = np.asarray(tokenizer(ds[int(i)][field]).input_ids,
-                         dtype=np.int64)
-        if ids.shape[0] > seqlen:
-            s = rng.integers(0, ids.shape[0] - seqlen)
+    out: list = []
+    n_docs = len(ds)
+    attempts = 0
+    while len(out) < nsamples:
+        i = int(rng.integers(0, n_docs))
+        ids = _tokenize(tokenizer, ds[i][field])
+        attempts += 1
+        if ids.shape[0] >= seqlen + 1:
+            s = int(rng.integers(0, ids.shape[0] - seqlen))
             out.append(ids[s:s + seqlen])
-        if len(out) == nsamples:
-            break
-    if len(out) < nsamples:
-        raise ValueError("not enough long documents for calibration")
+        elif attempts > 50 * nsamples:
+            raise ValueError("not enough long documents for calibration")
     return np.stack(out).astype(np.int32)
