@@ -23,9 +23,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, **kw):
+    # jax>=0.7 renamed check_rep -> check_vma; accept either runtime.
+    import inspect
+    if "check_vma" in inspect.signature(_shard_map).parameters:
+        kw["check_vma"] = kw.pop("check_rep", True)
+    return _shard_map(f, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import ModelConfig

@@ -3,9 +3,20 @@
 The reference has no serving layer at all (its README points users at a
 custom vLLM fork, ``README.md:77-84``); here slot-based continuous batching
 is first-class and TPU-shaped: a fixed-size batch of decode slots advances
-in one jitted step (static shapes), finished slots are refilled by
-prefilling new requests into bucketed prompt lengths, and per-slot KV-cache
-write positions use vmapped dynamic updates (models/llama.py attention).
+in one jitted step (static shapes), and admission runs CHUNKED PREFILL —
+every free slot with a pending request prefills together, prompts streamed
+through one fixed-shape jitted step in ``prefill_chunk``-token chunks that
+write straight into the big per-slot KV caches (vmapped per-row dynamic
+updates, models/llama.py attention). Two compiled programs total (one
+prefill shape, one decode shape), no per-admit cache copies, prompts of any
+length up to ``cache_len``.
+
+Slots that are mid-decode during an admission write their (ignored) pad
+chunk into a ``prefill_chunk``-slot scratch region appended to the cache
+(positions ``>= cache_len`` are never attended: the cache mask allows only
+``j <= position`` and positions stay ``< cache_len``), so admission never
+perturbs in-flight streams and the dynamic-slice start clamp can never
+reach valid history.
 
     engine = ServingEngine(cfg, params, max_batch=8, cache_len=2048)
     rid = engine.add_request(prompt_ids, max_new_tokens=64)
@@ -40,7 +51,8 @@ class ServingEngine:
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
                  max_batch: int = 8, cache_len: int = 2048,
                  dtype=jnp.bfloat16, temperature: float = 0.0,
-                 top_k: int = 0, prefill_buckets=(32, 128, 512, 2048),
+                 top_k: int = 0, prefill_buckets=None,
+                 prefill_chunk: Optional[int] = None,
                  seed: int = 0, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
@@ -57,7 +69,12 @@ class ServingEngine:
         self.B, self.S = max_batch, cache_len
         self.dtype = dtype
         self.temperature, self.top_k = temperature, top_k
-        self.buckets = [b for b in prefill_buckets if b <= cache_len]
+        if prefill_chunk is None:
+            # legacy prefill_buckets kwarg: smallest bucket was the unit of
+            # prefill work, so it maps onto the chunk size
+            prefill_chunk = (min(prefill_buckets) if prefill_buckets
+                             else min(128, cache_len))
+        self.C = min(int(prefill_chunk), cache_len)
         KV, hd = cfg.num_key_value_heads, cfg.head_dim
 
         def _kv(shape):
@@ -70,9 +87,12 @@ class ServingEngine:
                             else None, None)))
             return z
 
+        # + C scratch slots at the tail: idle rows park their pad chunks at
+        # position S during admissions (never attended, never clamped back
+        # into valid history)
         self.caches = [
-            (_kv((max_batch, cache_len, KV, hd)),
-             _kv((max_batch, cache_len, KV, hd)))
+            (_kv((max_batch, cache_len + self.C, KV, hd)),
+             _kv((max_batch, cache_len + self.C, KV, hd)))
             for _ in range(cfg.num_hidden_layers)
         ]
         self.pos = np.zeros(max_batch, dtype=np.int32)       # next write pos
@@ -85,7 +105,7 @@ class ServingEngine:
         self.key = jax.random.PRNGKey(seed)
 
         self._decode = jax.jit(self._decode_impl, donate_argnums=(0,))
-        self._prefill = {}
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,))
 
     # ------------------------------------------------------------ public
 
@@ -107,29 +127,20 @@ class ServingEngine:
 
     # ------------------------------------------------------------ internals
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        raise ValueError(f"prompt length {n} exceeds cache {self.S}")
-
-    def _prefill_fn(self, bucket: int):
-        if bucket in self._prefill:
-            return self._prefill[bucket]
-
-        @jax.jit
-        def fn(params, caches, ids, true_len):
-            # single-sequence prefill (batch 1), cache slot 0
-            S = ids.shape[1]
-            positions = jnp.arange(S)[None, :]
-            logits, caches = get_arch(self.cfg).model_apply(
-                self.cfg, params, ids, positions=positions,
-                kv_caches=caches, cache_position=0, dtype=self.dtype)
-            last = logits[0, true_len - 1, :]
-            return caches, last
-
-        self._prefill[bucket] = fn
-        return fn
+    def _prefill_impl(self, caches, params, toks, pos, take):
+        """One chunk of batched prefill, written in place at each row's
+        position. toks (B, C); pos (B,) chunk-start write positions (rows
+        not prefilling park at S, the scratch region); take (B,) in-chunk
+        index of each row's last prompt token (0 when not in this chunk).
+        Returns (caches, per-row logits at `take`)."""
+        C = toks.shape[1]
+        positions = pos[:, None] + jnp.arange(C)[None, :]
+        logits, caches = get_arch(self.cfg).model_apply(
+            self.cfg, params, toks, positions=positions,
+            kv_caches=caches, cache_position=pos, dtype=self.dtype)
+        last = jnp.take_along_axis(
+            logits, take[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        return caches, last.astype(jnp.float32)
 
     def _decode_impl(self, caches, params, tok, pos, active, key):
         positions = pos[:, None]
@@ -142,34 +153,54 @@ class ServingEngine:
         return caches, nxt
 
     def _admit(self):
+        admits: List[_Request] = []
         for slot in range(self.B):
             if self.active[slot] or not self.pending:
                 continue
             req = self.pending.pop(0)
-            req.slot = slot
             n = req.prompt.shape[0]
-            bucket = self._bucket(n)
-            ids = np.zeros((1, bucket), dtype=np.int32)
-            ids[0, :n] = req.prompt
-            KV, hd = self.cfg.num_key_value_heads, self.cfg.head_dim
-            tmp = [(jnp.zeros((1, self.S, KV, hd), self.dtype),
-                    jnp.zeros((1, self.S, KV, hd), self.dtype))
-                   for _ in range(self.cfg.num_hidden_layers)]
-            tmp, last_logits = self._prefill_fn(bucket)(
-                self.params, tmp, jnp.asarray(ids), n)
-            # copy the prefilled rows into the big caches at `slot`
-            new_caches = []
-            for (ck, cv), (tk, tv) in zip(self.caches, tmp):
-                ck = ck.at[slot].set(tk[0])
-                cv = cv.at[slot].set(tv[0])
-                new_caches.append((ck, cv))
-            self.caches = new_caches
+            if n > self.S - 1:
+                raise ValueError(f"prompt length {n} exceeds cache {self.S}")
+            req.slot = slot
+            admits.append(req)
+        if not admits:
+            return
+        # all admitted prompts stream through the one fixed-shape chunk
+        # step together; rows without a segment this chunk (mid-decode
+        # slots, shorter prompts already consumed) park at scratch pos S
+        C = self.C
+        n_chunks = max((r.prompt.shape[0] + C - 1) // C for r in admits)
+        last_logits: Dict[int, np.ndarray] = {}
+        for c in range(n_chunks):
+            start = c * C
+            toks = np.zeros((self.B, C), dtype=np.int32)
+            posv = np.full(self.B, self.S, dtype=np.int32)
+            take = np.zeros(self.B, dtype=np.int32)
+            finals = []
+            for req in admits:
+                seg = req.prompt[start:start + C]
+                if seg.shape[0] == 0:
+                    continue
+                toks[req.slot, :seg.shape[0]] = seg
+                posv[req.slot] = start
+                if start + seg.shape[0] == req.prompt.shape[0]:
+                    take[req.slot] = seg.shape[0] - 1
+                    finals.append(req.slot)
+            self.caches, last = self._prefill(
+                self.caches, self.params, jnp.asarray(toks),
+                jnp.asarray(posv), jnp.asarray(take))
+            if finals:
+                last = np.asarray(last)
+                for slot in finals:
+                    last_logits[slot] = last[slot]
+        for req in admits:
+            slot = req.slot
             self.key, sub = jax.random.split(self.key)
-            first = np.asarray(sample_token(last_logits[None, :], sub,
+            first = np.asarray(sample_token(last_logits[slot][None, :], sub,
                                             self.temperature, self.top_k))
             self.slot_req[slot] = req
             self.active[slot] = True
-            self.pos[slot] = n
+            self.pos[slot] = req.prompt.shape[0]
             self.last_tok[slot] = int(first[0])
             req.generated.append(int(first[0]))
 

@@ -68,3 +68,83 @@ def test_serving_matches_generate_greedy():
     rid = eng.add_request(prompt, max_new_tokens=8)
     out = eng.run(max_steps=100)[rid]
     assert np.array_equal(out, ref), (out, ref)
+
+
+def test_serving_chunked_prefill_matches_generate():
+    """A prompt spanning several prefill chunks must produce the same
+    greedy continuation as the one-shot scan generate (chunked prefill
+    writes the same cache, chunk by chunk)."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    rng = np.random.RandomState(7)
+    prompt = rng.randint(1, cfg.vocab_size, size=21).astype(np.int32)
+
+    ref = np.asarray(generate(cfg, params, jnp.asarray(prompt[None]), 6,
+                              cache_len=64, dtype_str="float32"))[0]
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8)  # 3 chunks
+    rid = eng.add_request(prompt, max_new_tokens=6)
+    out = eng.run(max_steps=100)[rid]
+    assert np.array_equal(out, ref), (out, ref)
+
+
+def test_serving_admission_does_not_perturb_inflight():
+    """Admitting a long-prompt request mid-decode must not change the
+    tokens of the already-running greedy stream (pad chunks of busy slots
+    land in the scratch region, never in attended cache)."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    pa = np.array([3, 1, 4, 1, 5], dtype=np.int32)
+    pb = np.random.RandomState(3).randint(
+        1, cfg.vocab_size, size=19).astype(np.int32)
+
+    solo = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                         dtype=jnp.float32, prefill_chunk=8)
+    ra = solo.add_request(pa, max_new_tokens=12)
+    ref_a = solo.run(max_steps=100)[ra]
+
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8)
+    ra = eng.add_request(pa, max_new_tokens=12)
+    for _ in range(4):
+        eng.step()
+    rb = eng.add_request(pb, max_new_tokens=4)
+    out = eng.run(max_steps=100)
+    assert np.array_equal(out[ra], ref_a), (out[ra], ref_a)
+    assert out[rb].shape[0] == 19 + 4
+
+
+def test_serving_batched_admission():
+    """Two pending requests with different prompt lengths admit together
+    through the same chunk steps and both complete correctly."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    pa = np.array([3, 1, 4], dtype=np.int32)
+    pb = np.random.RandomState(5).randint(
+        1, cfg.vocab_size, size=13).astype(np.int32)
+
+    ref = {}
+    for p, m in ((pa, 5), (pb, 7)):
+        solo = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                             dtype=jnp.float32, prefill_chunk=8)
+        r = solo.add_request(p, max_new_tokens=m)
+        ref[m] = solo.run(max_steps=100)[r]
+
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8)
+    ra = eng.add_request(pa, max_new_tokens=5)
+    rb = eng.add_request(pb, max_new_tokens=7)
+    out = eng.run(max_steps=100)
+    assert np.array_equal(out[ra], ref[5])
+    assert np.array_equal(out[rb], ref[7])
+
+
+def test_serving_prompt_too_long_raises():
+    import pytest
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    eng = ServingEngine(cfg, params, max_batch=1, cache_len=16,
+                        dtype=jnp.float32, prefill_chunk=8)
+    eng.add_request(np.arange(1, 18, dtype=np.int32), max_new_tokens=2)
+    with pytest.raises(ValueError):
+        eng.run(max_steps=10)
