@@ -75,13 +75,14 @@ def main():
     caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16)
     linear_kw = {"matmul_impl": args.impl}
 
-    def decode_many(params, caches, tok, pos, n):
+    def decode_many(params, caches, tok, pos, n, attn_window):
         def step(carry, _):
             caches, tok, pos = carry
             logits, caches = M.model_apply(
                 cfg, params, tok[:, None], positions=pos[:, None],
                 kv_caches=caches, cache_position=pos[0],
-                linear_kw=linear_kw, dtype=jnp.bfloat16)
+                linear_kw=linear_kw, dtype=jnp.bfloat16,
+                attn_window=attn_window)
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             return (caches, nxt, pos + 1), nxt
         (caches, tok, pos), toks = jax.lax.scan(
@@ -89,7 +90,17 @@ def main():
         return caches, toks
 
     import functools
-    fn = jax.jit(functools.partial(decode_many, n=args.tokens),
+    from quip_for_all_tpu.runtime.generate import attn_bucket
+
+    # one static attention window covering the whole run (positions are
+    # known on host): no per-layer lax.switch in the compiled step, and one
+    # compile for every window — generate() picks the same buckets
+    # per-segment at trace time
+    warmup, reps = (0, 1) if args.small else (2, 5)
+    total = args.tokens * (1 + warmup + reps)
+    w = attn_bucket(16 + total, args.cache_len)
+    fn = jax.jit(functools.partial(decode_many, n=args.tokens,
+                                   attn_window=w),
                  donate_argnums=(1,))
 
     tok = jnp.full((B,), 7, dtype=jnp.int32)
@@ -106,7 +117,6 @@ def main():
     # the remote worker reads ~20-50% low for the first windows after a
     # large param transfer (measured: 69.8 -> 137 tok/s within 3 windows);
     # run warmup windows untimed, then report the median of 5 timed ones
-    warmup, reps = (0, 1) if args.small else (2, 5)
     for _ in range(warmup):
         pos = pos + args.tokens
         caches, toks = fn(params, caches, tok, pos)

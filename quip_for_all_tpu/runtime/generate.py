@@ -61,36 +61,68 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
     if key is None:
         key = jax.random.PRNGKey(0)
     caches = init_kv_caches(cfg, B, cache_len, dtype)
+    A = get_arch(cfg)
+    import inspect
+    windowed = "attn_window" in inspect.signature(A.model_apply).parameters
+
+    def win_kw(need: int) -> dict:
+        """Static attention window (smallest bucket covering `need` cache
+        slots) — positions are statically known here, so attention reads
+        exactly the live prefix with no runtime bucket switch."""
+        if not windowed:
+            return {}
+        return {"attn_window": attn_bucket(need, cache_len)}
 
     # ---- prefill
     positions = jnp.arange(S)[None, :].repeat(B, 0)
-    A = get_arch(cfg)
     logits, caches = A.model_apply(
         cfg, params, prompt_ids, positions=positions, kv_caches=caches,
-        cache_position=0, dtype=dtype)
+        cache_position=0, dtype=dtype, **win_kw(S))
     key, sub = jax.random.split(key)
     next_tok = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
                             temperature, top_k)
 
-    # ---- decode loop (one compiled scan; static cache; no host syncs)
-    def step(carry, _):
-        caches, tok, pos, key = carry
-        key, sub = jax.random.split(key)
-        positions = pos[:, None]
-        logits, caches = A.model_apply(
-            cfg, params, tok[:, None], positions=positions,
-            kv_caches=caches, cache_position=pos[0], dtype=dtype)
-        nxt = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
-                           temperature, top_k)
-        return (caches, nxt, pos + 1, key), nxt
+    # ---- decode loop (compiled scans; static cache; no host syncs),
+    # segmented at the statically known attention-bucket boundaries so
+    # each scan body reads a fixed cache prefix
+    def make_step(wkw):
+        def step(carry, _):
+            caches, tok, pos, key = carry
+            key, sub = jax.random.split(key)
+            positions = pos[:, None]
+            logits, caches = A.model_apply(
+                cfg, params, tok[:, None], positions=positions,
+                kv_caches=caches, cache_position=pos[0], dtype=dtype, **wkw)
+            nxt = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
+                               temperature, top_k)
+            return (caches, nxt, pos + 1, key), nxt
+        return step
 
     pos0 = jnp.full((B,), S, dtype=jnp.int32)
-    (_, _, _, _), toks = jax.lax.scan(
-        step, (caches, next_tok, pos0, key), None,
-        length=max_new_tokens - 1)
+    carry = (caches, next_tok, pos0, key)
+    segs, p, left = [], S, max_new_tokens - 1
+    while left > 0:
+        w = attn_bucket(p + 1, cache_len)
+        span = min(left, w - p) if w < cache_len else left
+        carry, seg = jax.lax.scan(make_step(win_kw(p + span)), carry, None,
+                                  length=span)
+        segs.append(seg)
+        p, left = p + span, left - span
+    toks = (jnp.concatenate(segs, axis=0) if segs
+            else jnp.zeros((0, B), jnp.int32))
     out = jnp.concatenate(
         [prompt_ids, next_tok[:, None], toks.T.astype(jnp.int32)], axis=1)
     return out
+
+
+def attn_bucket(need: int, cache_len: int) -> int:
+    """Smallest decode-attention bucket (256 · 2^k, capped at cache_len)
+    covering `need` cache slots — mirrors the runtime lax.switch ladder in
+    models/llama.py attention."""
+    w = 256
+    while w < min(need, cache_len):
+        w *= 2
+    return min(w, cache_len)
 
 
 def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,

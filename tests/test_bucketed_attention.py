@@ -28,3 +28,45 @@ def test_bucketed_decode_matches_full_forward():
         np.testing.assert_allclose(np.asarray(lt[0, 0]),
                                    np.asarray(full_logits[0, t]),
                                    rtol=6e-3, atol=6e-3)
+
+
+def test_static_window_matches_switch_path():
+    """attn_window (static prefix, no lax.switch) must equal both the
+    runtime-bucketed decode and the full forward."""
+    cfg = tiny_config(num_hidden_layers=2, max_position_embeddings=1024)
+    params = M.init_llama_params(cfg, seed=0)
+    ids = jnp.asarray((np.arange(40) * 13 % cfg.vocab_size)[None, :])
+    full_logits, _ = M.model_apply(cfg, params, ids)
+
+    caches = init_kv_caches(cfg, 1, 1024, dtype=jnp.float32)
+    pos = jnp.arange(8)[None, :]
+    _, caches = M.model_apply(cfg, params, ids[:, :8], positions=pos,
+                              kv_caches=caches, cache_position=0,
+                              attn_window=256)
+    for t in range(8, 40):
+        lt, caches = M.model_apply(cfg, params, ids[:, t:t + 1],
+                                   positions=jnp.asarray([[t]]),
+                                   kv_caches=caches, cache_position=t,
+                                   attn_window=256)
+        np.testing.assert_allclose(np.asarray(lt[0, 0]),
+                                   np.asarray(full_logits[0, t]),
+                                   rtol=6e-3, atol=6e-3)
+
+
+def test_generate_segmented_scan_crosses_bucket_boundary():
+    """generate() with decode positions spanning the 256-slot bucket
+    boundary (segmented scans with different static windows) must match
+    one-shot full-context logits argmax at every step."""
+    from quip_for_all_tpu.runtime.generate import generate
+
+    cfg = tiny_config(num_hidden_layers=2, max_position_embeddings=640)
+    params = M.init_llama_params(cfg, seed=0)
+    prompt = jnp.asarray((np.arange(250) * 7 % cfg.vocab_size)[None, :])
+    out = np.asarray(generate(cfg, params, prompt, 12, cache_len=640,
+                              dtype_str="float32"))[0]
+    # oracle: greedy continuation via repeated full forwards (no cache)
+    seq = np.asarray(prompt[0]).tolist()
+    for _ in range(12):
+        logits, _ = M.model_apply(cfg, params, jnp.asarray([seq]))
+        seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
+    assert out.tolist() == seq, (out.tolist()[-14:], seq[-14:])
