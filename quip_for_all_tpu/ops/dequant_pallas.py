@@ -60,13 +60,17 @@ def _make_kernel(affine, G: int, out_dtype):
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
         w_refs = refs[:-1]
-        x = x_ref[...].astype(jnp.float32)            # (m, 8G), cast once
+        # dots run in the INPUT dtype: nibble values {0..15} are exact in
+        # bf16, so bf16 x (the model path) gives bit-equal products at the
+        # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
+        # pure overhead; accumulation stays f32 via preferred_element_type
+        x = x_ref[...]                                 # (m, 8G)
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
             w = pltpu.bitcast(w_ref[...], jnp.int32)
             acc = None
             for i in range(8):
-                v = _nibble(w, i).astype(jnp.float32)
+                v = _nibble(w, i).astype(jnp.float32).astype(x.dtype)
                 part = jax.lax.dot_general(
                     x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -74,7 +78,7 @@ def _make_kernel(affine, G: int, out_dtype):
             acc = acc * alpha
             out = acc if out is None else out + acc
         # beta correction: sum_j x_j * beta for every output lane
-        xs = jnp.sum(x, axis=1, keepdims=True)        # (m, 1)
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (m, 1)
         o_ref[...] = (out + beta_total * xs).astype(out_dtype)
 
     return kernel

@@ -118,8 +118,13 @@ def get_hadK(n: int, use_rand: bool = True,
 
 
 def _kron_split(e: int) -> Tuple[int, int]:
-    a = e // 2
-    return e - a, a  # (high-bits factor, low-bits factor)
+    # Keep the LOW factor at 128 lanes: H_{2^e} = H_{2^a} ⊗ H_{2^b} for any
+    # a+b=e (identical linear map), but b=7 makes the (..., A, 128) reshape
+    # a free view (minor dim stays vreg-native) and the B-contraction a
+    # native 128-wide MXU dot — a 64x64 split relayouts on every reshape
+    # (measured ~0.4 us per [64,64] reshape, ~10 of them per decode layer).
+    b = min(e, 7)
+    return e - b, b  # (high-bits factor, low-bits factor)
 
 
 def hadamard_transform(X: jax.Array, scale: float | jax.Array = 1.0
@@ -133,8 +138,11 @@ def hadamard_transform(X: jax.Array, scale: float | jax.Array = 1.0
         return X * scale
     ea, eb = _kron_split(e)
     A, B = 1 << ea, 1 << eb
-    Ha = jnp.asarray(sylvester(ea), dtype=dt)
     Hb = jnp.asarray(sylvester(eb), dtype=dt)
+    if ea == 0:
+        Y = jnp.einsum("...b,db->...d", X, Hb)
+        return (Y * scale).reshape(X.shape)
+    Ha = jnp.asarray(sylvester(ea), dtype=dt)
     Y = X.reshape(*X.shape[:-1], A, B)
     # y[a', b'] = sum_{a,b} Ha[a', a] Hb[b', b] x[a, b]
     Y = jnp.einsum("...ab,ca->...cb", Y, Ha)
@@ -223,7 +231,7 @@ def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
     m = X.shape[0]
     G = spec.padN // 8
     e = M.bit_length() - 1
-    eb = max(3, e // 2)
+    eb = min(e, 7)          # lane-native low factor (see _kron_split)
     ea = e - eb
     A, B = 1 << ea, 1 << eb
     dt = X.dtype
