@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--tokenizer", default=None,
                     help="HF tokenizer path (defaults to model-path)")
+    ap.add_argument("--stream", action="store_true",
+                    help="print tokens as they decode (chunked scans; "
+                    "parity with the reference's callback streaming)")
+    ap.add_argument("--stream-chunk", type=int, default=8)
     args = ap.parse_args(argv)
 
     import jax
@@ -49,6 +53,29 @@ def main(argv=None):
               file=sys.stderr)
         ids = np.frombuffer(args.prompt.encode()[:64], dtype=np.uint8
                             ).astype(np.int32)[None] % cfg.vocab_size
+
+    if args.stream:
+        from ..runtime.generate import generate_stream
+        t0 = time.time()
+        pieces = [ids]
+        for chunk in generate_stream(
+                cfg, params, jnp.asarray(ids), args.max_new_tokens,
+                chunk=args.stream_chunk, key=jax.random.PRNGKey(args.seed),
+                temperature=args.temperature, top_k=args.top_k,
+                cache_len=args.cache_len, dtype_str=args.dtype):
+            pieces.append(chunk)
+            if tok is not None:
+                print(tok.decode(chunk[0].tolist()), end="", flush=True)
+            else:
+                print(" ".join(map(str, chunk[0].tolist())), end=" ",
+                      flush=True)
+        print()
+        out = np.concatenate(pieces, axis=1)
+        dt = time.time() - t0
+        n_new = out.shape[1] - ids.shape[1]
+        print(f"[streamed {n_new} tokens in {dt:.2f}s incl. compile]",
+              file=sys.stderr)
+        return
 
     t0 = time.time()
     out = generate(cfg, params, jnp.asarray(ids), args.max_new_tokens,

@@ -112,6 +112,48 @@ def _tokenize(tokenizer: Any, text: str) -> np.ndarray:
     return np.asarray(ids, dtype=np.int64)
 
 
+def _file_corpus_tokens(spec: str, tokenizer: Any, nsamples: int,
+                        seqlen: int, seed: int) -> np.ndarray:
+    """Sample calibration windows from a LOCAL corpus file.
+
+    ``file:/path/corpus.txt``        join-mode over the raw text
+    ``file:/path/docs.jsonl``        doc-mode, one window per JSON object's
+                                     "text" field (c4-style layout)
+    ``file:/path/docs.jsonl#body``   same, custom field name
+
+    This is the zero-egress escape hatch: the HF loaders (`wikitext2`,
+    `c4`, ...) need a local datasets cache, but any text corpus on disk
+    works through this path with the same seeded sampling semantics as the
+    reference's get_dataset (data.py:236-283)."""
+    import json
+    import os.path
+
+    field = "text"
+    if "#" in spec:
+        spec, field = spec.rsplit("#", 1)
+    if not os.path.exists(spec):
+        raise FileNotFoundError(f"calibration corpus not found: {spec}")
+    if spec.endswith((".jsonl", ".ndjson")):
+        with open(spec, "r", encoding="utf-8") as f:
+            docs = [json.loads(line)[field] for line in f if line.strip()]
+        rng = np.random.default_rng(seed)
+        out: list = []
+        attempts = 0
+        while len(out) < nsamples:
+            i = int(rng.integers(0, len(docs)))
+            ids = _tokenize(tokenizer, docs[i])
+            attempts += 1
+            if ids.shape[0] >= seqlen + 1:
+                s = int(rng.integers(0, ids.shape[0] - seqlen))
+                out.append(ids[s:s + seqlen])
+            elif attempts > 50 * nsamples:
+                raise ValueError("not enough long documents in corpus")
+        return np.stack(out).astype(np.int32)
+    with open(spec, "r", encoding="utf-8") as f:
+        ids = _tokenize(tokenizer, f.read())
+    return _sample_windows(ids, nsamples, seqlen, seed)
+
+
 def get_calibration_tokens(dataset: str, tokenizer: Any, nsamples: int,
                            seqlen: int, seed: int = 0,
                            split: str = "train",
@@ -121,6 +163,12 @@ def get_calibration_tokens(dataset: str, tokenizer: Any, nsamples: int,
     if dataset in ("", "synthetic"):
         assert vocab_size is not None, "synthetic data needs vocab_size"
         return synthetic_tokens(nsamples, seqlen, vocab_size, seed)
+    if dataset.startswith("file:"):
+        # local corpus (no network/HF cache needed): plain text joins the
+        # whole file into one stream; .jsonl samples per-document like c4
+        # (field "text"). The path may carry an optional "#field" suffix.
+        return _file_corpus_tokens(dataset[5:], tokenizer, nsamples,
+                                   seqlen, seed)
     if dataset == "wikitext2-test":      # back-compat alias
         dataset, split = "wikitext2", "validation"
     if dataset not in _HF_SPECS:

@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import QuantizedTensor
 
 _INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
+# experiment: concatenate the 8 decoded value planes into one (TN, 8G)
+# weight tile and issue ONE MXU dot per plane set instead of 8
+_CONCAT_DOT = os.environ.get("QFA_CONCAT_DOT", "0") == "1"
 
 
 def _nibble(w_i32, i: int):
@@ -68,13 +71,21 @@ def _make_kernel(affine, G: int, out_dtype):
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
             w = pltpu.bitcast(w_ref[...], jnp.int32)
-            acc = None
-            for i in range(8):
-                v = _nibble(w, i).astype(jnp.float32).astype(x.dtype)
-                part = jax.lax.dot_general(
-                    x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+            if _CONCAT_DOT:
+                vt = jnp.concatenate(
+                    [_nibble(w, i).astype(jnp.float32).astype(x.dtype)
+                     for i in range(8)], axis=1)       # (TN, 8G)
+                acc = jax.lax.dot_general(
+                    x, vt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
+            else:
+                acc = None
+                for i in range(8):
+                    v = _nibble(w, i).astype(jnp.float32).astype(x.dtype)
+                    part = jax.lax.dot_general(
+                        x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
             acc = acc * alpha
             out = acc if out is None else out + acc
         # beta correction: sum_j x_j * beta for every output lane

@@ -115,6 +115,81 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
     return out
 
 
+def generate_stream(cfg: ModelConfig, params: Dict[str, Any],
+                    prompt_ids: jax.Array, max_new_tokens: int, *,
+                    chunk: int = 8,
+                    key: Optional[jax.Array] = None,
+                    temperature: float = 0.0, top_k: int = 0,
+                    cache_len: int = 2048, dtype_str: str = "bfloat16"):
+    """Streaming decode: yields np.int32 arrays of shape (B, <=chunk) as
+    tokens are produced (parity: the reference's callback streaming at
+    ``example_generate.py:36-56``, which buffers 4 tokens per callback).
+
+    Each chunk is one jitted lax.scan; chunks never cross an attention
+    bucket boundary so every scan body reads a fixed static cache prefix.
+    The per-(window, length) step functions are compiled once per call and
+    reused across chunks."""
+    dtype = np.dtype(dtype_str)
+    B, S = prompt_ids.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    A = get_arch(cfg)
+    import inspect
+    windowed = "attn_window" in inspect.signature(A.model_apply).parameters
+
+    def win_kw(need: int) -> dict:
+        if not windowed:
+            return {}
+        return {"attn_window": attn_bucket(need, cache_len)}
+
+    caches = init_kv_caches(cfg, B, cache_len, dtype)
+    positions = jnp.arange(S)[None, :].repeat(B, 0)
+    logits, caches = A.model_apply(
+        cfg, params, prompt_ids, positions=positions, kv_caches=caches,
+        cache_position=0, dtype=dtype, **win_kw(S))
+    key, sub = jax.random.split(key)
+    next_tok = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
+                            temperature, top_k)
+    yield np.asarray(next_tok)[:, None]
+
+    fns: dict = {}
+
+    def chunk_fn(wkw_items: tuple, n: int):
+        if (wkw_items, n) not in fns:
+            wkw = dict(wkw_items)
+
+            def run(params, caches, tok, pos, key):
+                def step(carry, _):
+                    caches, tok, pos, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, caches = A.model_apply(
+                        cfg, params, tok[:, None], positions=pos[:, None],
+                        kv_caches=caches, cache_position=pos[0],
+                        dtype=dtype, **wkw)
+                    nxt = sample_token(
+                        logits[:, -1, :].astype(jnp.float32), sub,
+                        temperature, top_k)
+                    return (caches, nxt, pos + 1, key), nxt
+                (caches, tok, pos, key), toks = jax.lax.scan(
+                    step, (caches, tok, pos, key), None, length=n)
+                return caches, tok, pos, key, toks
+            fns[(wkw_items, n)] = jax.jit(run, donate_argnums=(1,))
+        return fns[(wkw_items, n)]
+
+    pos = jnp.full((B,), S, dtype=jnp.int32)
+    p, left = S, max_new_tokens - 1
+    while left > 0:
+        w = attn_bucket(p + 1, cache_len)
+        seg = min(left, w - p) if w < cache_len else left
+        n = min(chunk, seg)
+        wkw = win_kw(p + n)
+        fn = chunk_fn(tuple(sorted(wkw.items())), n)
+        caches, next_tok, pos, key, toks = fn(params, caches, next_tok,
+                                              pos, key)
+        yield np.asarray(toks).T.astype(np.int32)
+        p, left = p + n, left - n
+
+
 def attn_bucket(need: int, cache_len: int) -> int:
     """Smallest decode-attention bucket (256 · 2^k, capped at cache_len)
     covering `need` cache slots — mirrors the runtime lax.switch ladder in

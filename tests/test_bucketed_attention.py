@@ -2,6 +2,7 @@
 full-cache computation at every position."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from quip_for_all_tpu.models import llama as M
@@ -70,3 +71,23 @@ def test_generate_segmented_scan_crosses_bucket_boundary():
         logits, _ = M.model_apply(cfg, params, jnp.asarray([seq]))
         seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
     assert out.tolist() == seq, (out.tolist()[-14:], seq[-14:])
+
+
+def test_generate_stream_matches_generate():
+    """generate_stream chunks (crossing a bucket boundary) must equal the
+    one-shot generate() sequence exactly, greedy and sampled."""
+    from quip_for_all_tpu.runtime.generate import generate, generate_stream
+
+    cfg = tiny_config(num_hidden_layers=2, max_position_embeddings=640)
+    params = M.init_llama_params(cfg, seed=0)
+    prompt = jnp.asarray((np.arange(250) * 7 % cfg.vocab_size)[None, :])
+    for temp, tk in ((0.0, 0), (0.8, 20)):
+        key = jax.random.PRNGKey(5)
+        ref = np.asarray(generate(cfg, params, prompt, 12, key=key,
+                                  temperature=temp, top_k=tk,
+                                  cache_len=640, dtype_str="float32"))
+        chunks = list(generate_stream(cfg, params, prompt, 12, chunk=5,
+                                      key=key, temperature=temp, top_k=tk,
+                                      cache_len=640, dtype_str="float32"))
+        got = np.concatenate([np.asarray(prompt)] + chunks, axis=1)
+        np.testing.assert_array_equal(got, ref)

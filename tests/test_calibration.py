@@ -115,3 +115,37 @@ def test_unknown_dataset_and_split():
     with pytest.raises(ValueError, match="split"):
         C.get_calibration_tokens("wikitext2", WordTokenizer(), 1, 8,
                                  split="test")
+
+
+def test_file_corpus_txt_join_mode(tmp_path):
+    """file: spec over a plain-text corpus — join-mode windows, seeded."""
+    words = " ".join(f"w{i % 97}" for i in range(5000))
+    p = tmp_path / "corpus.txt"
+    p.write_text(words)
+    tok = WordTokenizer()
+    a = C.get_calibration_tokens(f"file:{p}", tok, 6, 64, seed=3)
+    b = C.get_calibration_tokens(f"file:{p}", tok, 6, 64, seed=3)
+    c = C.get_calibration_tokens(f"file:{p}", tok, 6, 64, seed=4)
+    assert a.shape == (6, 64) and a.dtype == np.int32
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_file_corpus_jsonl_doc_mode(tmp_path):
+    """file: spec over .jsonl — doc-mode (one window per long-enough doc),
+    custom field via #suffix, short docs resampled away."""
+    import json
+    rows = [{"body": "short doc"},
+            {"body": " ".join(f"t{i}" for i in range(400))},
+            {"body": " ".join(f"u{i}" for i in range(300))}]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    tok = WordTokenizer()
+    out = C.get_calibration_tokens(f"file:{p}#body", tok, 5, 128, seed=0)
+    assert out.shape == (5, 128)
+
+
+def test_file_corpus_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        C.get_calibration_tokens("file:/nonexistent/x.txt",
+                                 WordTokenizer(), 2, 16, seed=0)
