@@ -44,8 +44,11 @@ from ..transforms.incoherence import (HadSpec, hadamard_transform,
 _GROUPED_PROLOGUE = os.environ.get("QFA_GROUPED_PROLOGUE", "1") == "1"
 
 
-def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype):
-    """Try the fused grouped-layout path; returns None to fall back."""
+def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
+                             scale_vec=None):
+    """Try the fused grouped-layout path; returns None to fall back.
+    ``scale_vec`` (q_out,) rides the kernel epilogue (fused per-channel
+    wscale·Wscale) instead of a separate elementwise op."""
     if not _GROUPED_PROLOGUE or x.shape[0] >= 32:
         return None
     try:
@@ -58,7 +61,8 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype):
                               scale=scale)
     if xg is None:
         return None
-    return fused_quant_matmul_pre(xg.astype(compute_dtype), qt)
+    return fused_quant_matmul_pre(xg.astype(compute_dtype), qt,
+                                  scale_vec=scale_vec)
 
 
 @jax.tree_util.register_dataclass
@@ -226,9 +230,13 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
     x_dtype = x.dtype
     if f.SU is not None:
         x = x * f.SU.astype(x_dtype)
-    big = (_grouped_prologue_matmul(x, f.left_spec, f.qweight, None,
-                                    compute_dtype)
-           if matmul_impl in ("auto", "pallas") else None)
+    pre_fused = False
+    big = None
+    if matmul_impl in ("auto", "pallas"):
+        sv = f.pre_vec if f.right_uniform else None
+        big = _grouped_prologue_matmul(x, f.left_spec, f.qweight, None,
+                                       compute_dtype, scale_vec=sv)
+        pre_fused = big is not None and sv is not None
     if big is None:
         x = matmul_hadUt(x, f.left_spec)     # unscaled; wscale per segment
         x = x.astype(compute_dtype)
@@ -241,7 +249,7 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
         q_out, nseg = seg0.q_out, len(f.segments)
         spec = seg0.right_spec                  # padN == q_out, shards == 1
         had_scale = 1.0 / math.sqrt(spec.padN // spec.K)
-        Y = big * f.pre_vec.astype(x_dtype)
+        Y = big if pre_fused else big * f.pre_vec.astype(x_dtype)
         Y = Y.reshape(-1, nseg, spec.K, spec.padN // spec.K)
         Y = hadamard_transform(Y, had_scale)
         if f.right_hadK_stack is not None:
@@ -294,15 +302,18 @@ def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
             x = jnp.pad(x, [(0, 0), (0, p.q_in - x.shape[-1])])
         out = (x @ W.astype(x_dtype))[:, : p.out_features]
     else:
+        sv = p.Wscale if p.per_channel else None
         out = (_grouped_prologue_matmul(x, p.left_spec, p.qweight,
-                                        p.wscale_float, compute_dtype)
+                                        p.wscale_float, compute_dtype,
+                                        scale_vec=sv)
                if matmul_impl in ("auto", "pallas") else None)
+        pc_fused = out is not None and sv is not None
         if out is None:
             x = matmul_hadUt(x, p.left_spec, scale=p.wscale_float)
             x = x.astype(compute_dtype)
             out = quant_matmul(x, p.qweight, impl=matmul_impl)
         out = out.astype(x_dtype)
-        if p.per_channel:
+        if p.per_channel and not pc_fused:
             out = out * p.Wscale.astype(x_dtype)
         out = matmul_hadU(out, p.right_spec)[:, : p.out_features]
 

@@ -57,12 +57,16 @@ def _nibble(w_i32, i: int):
     return jax.lax.shift_right_logical(w_i32, 4 * i) & 0xF
 
 
-def _make_kernel(affine, G: int, out_dtype):
+def _make_kernel(affine, G: int, out_dtype, with_scale: bool):
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
+        s_ref = None
         w_refs = refs[:-1]
+        if with_scale:
+            s_ref = refs[-2]
+            w_refs = refs[:-2]
         # dots run in the INPUT dtype: nibble values {0..15} are exact in
         # bf16, so bf16 x (the model path) gives bit-equal products at the
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
@@ -90,7 +94,12 @@ def _make_kernel(affine, G: int, out_dtype):
             out = acc if out is None else out + acc
         # beta correction: sum_j x_j * beta for every output lane
         xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (m, 1)
-        o_ref[...] = (out + beta_total * xs).astype(out_dtype)
+        out = out + beta_total * xs
+        if s_ref is not None:
+            # per-output-channel scale (fused wscale*Wscale), folded here
+            # instead of a separate (m, q_out) elementwise op per call
+            out = out * s_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(out_dtype)
 
     return kernel
 
@@ -115,18 +124,24 @@ def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("affine", "q_out", "out_dtype_str"))
-def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str):
+def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
+                scale_vec=None):
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
     TN = _pick_tn(q_out, Gp, n_planes)
     out_dtype = np.dtype(out_dtype_str)
-    kernel = _make_kernel(affine, Gp, out_dtype)
+    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None)
 
     plane_specs = [
         pl.BlockSpec((TN, Gp), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in planes_tuple
     ]
+    args = list(planes_tuple)
+    if scale_vec is not None:
+        plane_specs.append(pl.BlockSpec((1, TN), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM))
+        args.append(scale_vec.reshape(1, q_out))
     return pl.pallas_call(
         kernel,
         grid=(q_out // TN,),
@@ -136,7 +151,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
         interpret=_INTERPRET,
-    )(x_perm, *planes_tuple)
+    )(x_perm, *args)
 
 
 def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
@@ -153,11 +168,12 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     return fused_quant_matmul_pre(x_perm, qt)
 
 
-def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor
-                           ) -> jax.Array:
+def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
+                           scale_vec: jax.Array | None = None) -> jax.Array:
     """Like fused_quant_matmul but with x ALREADY in grouped-permuted
     layout (m, 8*Gp) — produced for free by the transform via
-    transforms.incoherence.matmul_hadUt_grouped."""
+    transforms.incoherence.matmul_hadUt_grouped. ``scale_vec`` (q_out,)
+    applies a per-output-channel scale in the kernel epilogue."""
     m = x_perm.shape[0]
     assert x_perm.shape[1] == 8 * qt.planes["w0"].shape[1], x_perm.shape
     mp = max(8, -(-m // 8) * 8)
@@ -165,5 +181,5 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
     out = _fused_call(x_perm, planes, qt.decode_affine, qt.q_out,
-                      np.dtype(x_perm.dtype).name)
+                      np.dtype(x_perm.dtype).name, scale_vec=scale_vec)
     return out[:m]
