@@ -34,12 +34,21 @@ def update_kv_cache(kv_cache: Optional[Tuple[jax.Array, jax.Array]],
 
 
 def sdpa_cache_layout(q: jax.Array, k: jax.Array, v: jax.Array,
-                      attn_mask: jax.Array, out_dtype) -> jax.Array:
+                      attn_mask: jax.Array, out_dtype,
+                      attn_window: Optional[int] = None) -> jax.Array:
     """Attention with k/v kept in cache layout (B, T, H, hd) throughout —
     the dots batch over the head axis in place (rhs batch dim 2) so the
     multi-MB cache prefix is never transposed/copied. q: (B, S, H, hd);
-    returns (B, S, H*hd)."""
+    returns (B, S, H*hd).
+
+    attn_window (static): the caller guarantees every query position is
+    < attn_window, so only that cache prefix is read — a full static
+    cache otherwise costs the whole cache_len read every decode token."""
     import numpy as np
+    if attn_window is not None and attn_window < k.shape[1]:
+        k = k[:, :attn_window]
+        v = v[:, :attn_window]
+        attn_mask = attn_mask[..., :attn_window]
     B, S, H, hd = q.shape
     qt = q.transpose(0, 2, 1, 3)                   # (B, H, S, hd)
     scores = jax.lax.dot_general(

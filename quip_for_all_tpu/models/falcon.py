@@ -48,7 +48,7 @@ def split_fused_qkv(cfg: ModelConfig, qkv: jax.Array):
 
 
 def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
-              cache_position, attn_mask, linear_kw, captures):
+              cache_position, attn_mask, linear_kw, captures, attn_window=None):
     B, S, D = x.shape
     H, KV, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                  cfg.head_dim)
@@ -63,7 +63,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
     if KV != H:
         k = jnp.repeat(k, H // KV, axis=2)
         v = jnp.repeat(v, H // KV, axis=2)
-    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
+    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype,
+                            attn_window=attn_window)
     if captures is not None:
         captures["o"] = ctx
     out = linear_apply(attn_p["dense"], ctx, **linear_kw)
@@ -72,7 +73,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
 
 def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
                 kv_cache=None, cache_position=None, attn_mask=None,
-                linear_kw: Optional[dict] = None, capture: bool = False):
+                linear_kw: Optional[dict] = None, capture: bool = False,
+                attn_window=None):
     linear_kw = linear_kw or {}
     captures: Optional[dict] = {} if capture else None
 
@@ -92,19 +94,22 @@ def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
         hm = layer_norm(blk["ln_mlp"], x, cfg.rms_norm_eps)
         a, new_cache = attention(cfg, blk["self_attention"], ha, cos, sin,
                                  kv_cache, cache_position, attn_mask,
-                                 linear_kw, captures)
+                                 linear_kw, captures,
+                         attn_window)
         x = x + a + mlp(hm)
     elif cfg.use_parallel_residual:  # falcon parallel_attn: one shared LN
         h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
         a, new_cache = attention(cfg, blk["self_attention"], h, cos, sin,
                                  kv_cache, cache_position, attn_mask,
-                                 linear_kw, captures)
+                                 linear_kw, captures,
+                         attn_window)
         x = x + a + mlp(h)
     else:
         h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
         a, new_cache = attention(cfg, blk["self_attention"], h, cos, sin,
                                  kv_cache, cache_position, attn_mask,
-                                 linear_kw, captures)
+                                 linear_kw, captures,
+                         attn_window)
         x = x + a
         h = layer_norm(blk["post_attention_layernorm"], x,
                        cfg.rms_norm_eps)
@@ -114,7 +119,8 @@ def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
 
 def model_apply(cfg: ModelConfig, params: Params, input_ids,
                 positions=None, kv_caches=None, cache_position=None,
-                attn_mask=None, linear_kw=None, dtype=jnp.float32):
+                attn_mask=None, linear_kw=None, dtype=jnp.float32,
+                attn_window=None):
     B, S = input_ids.shape
     x = jnp.take(params["word_embeddings"]["weight"], input_ids, axis=0
                  ).astype(dtype)
@@ -131,7 +137,7 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids,
         cache_i = kv_caches[i] if kv_caches is not None else None
         x, nc, _ = block_apply(cfg, params["layers"][i], x, cos, sin,
                                cache_i, cache_position, attn_mask,
-                               linear_kw)
+                               linear_kw, attn_window=attn_window)
         if new_caches is not None:
             new_caches.append(nc)
     x = layer_norm(params["ln_f"], x, cfg.rms_norm_eps)

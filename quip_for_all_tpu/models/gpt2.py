@@ -42,7 +42,7 @@ def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
 
 
 def attention(cfg: ModelConfig, attn_p: Params, x, kv_cache,
-              cache_position, attn_mask, linear_kw, captures):
+              cache_position, attn_mask, linear_kw, captures, attn_window=None):
     B, S, D = x.shape
     H = cfg.num_attention_heads
     hd = cfg.head_dim
@@ -56,7 +56,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x, kv_cache,
 
     k, v, new_cache = update_kv_cache(kv_cache, k, v, cache_position)
 
-    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
+    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype,
+                            attn_window=attn_window)
     if captures is not None:
         captures["o"] = ctx
     out = linear_apply(attn_p["c_proj"], ctx, **linear_kw)
@@ -65,12 +66,14 @@ def attention(cfg: ModelConfig, attn_p: Params, x, kv_cache,
 
 def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
                 kv_cache=None, cache_position=None, attn_mask=None,
-                linear_kw: Optional[dict] = None, capture: bool = False):
+                linear_kw: Optional[dict] = None, capture: bool = False,
+                attn_window=None):
     linear_kw = linear_kw or {}
     captures: Optional[dict] = {} if capture else None
     h = layer_norm(blk["ln_1"], x, cfg.rms_norm_eps)
     a, new_cache = attention(cfg, blk["attn"], h, kv_cache, cache_position,
-                             attn_mask, linear_kw, captures)
+                             attn_mask, linear_kw, captures,
+                         attn_window)
     x = x + a
     h = layer_norm(blk["ln_2"], x, cfg.rms_norm_eps)
     if captures is not None:
@@ -86,7 +89,8 @@ def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
 
 def model_apply(cfg: ModelConfig, params: Params, input_ids,
                 positions=None, kv_caches=None, cache_position=None,
-                attn_mask=None, linear_kw=None, dtype=jnp.float32):
+                attn_mask=None, linear_kw=None, dtype=jnp.float32,
+                attn_window=None):
     B, S = input_ids.shape
     if positions is None:
         positions = jnp.arange(S)[None, :].repeat(B, 0)
@@ -104,7 +108,8 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids,
         x, nc, _ = block_apply(cfg, params["layers"][i], x,
                                kv_cache=cache_i,
                                cache_position=cache_position,
-                               attn_mask=attn_mask, linear_kw=linear_kw)
+                               attn_mask=attn_mask, linear_kw=linear_kw,
+                               attn_window=attn_window)
         if new_caches is not None:
             new_caches.append(nc)
     x = layer_norm(params["ln_f"], x, cfg.rms_norm_eps)

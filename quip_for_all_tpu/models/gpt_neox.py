@@ -67,7 +67,7 @@ def _apply_partial_rope(q, k, cos, sin, rot: int):
 
 
 def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
-              cache_position, attn_mask, linear_kw, captures):
+              cache_position, attn_mask, linear_kw, captures, attn_window=None):
     B, S, D = x.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
     if captures is not None:
@@ -79,7 +79,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
 
     k, v, new_cache = update_kv_cache(kv_cache, k, v, cache_position)
 
-    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
+    ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype,
+                            attn_window=attn_window)
     if captures is not None:
         captures["o"] = ctx
     out = linear_apply(attn_p["dense"], ctx, **linear_kw)
@@ -88,12 +89,14 @@ def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
 
 def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
                 kv_cache=None, cache_position=None, attn_mask=None,
-                linear_kw: Optional[dict] = None, capture: bool = False):
+                linear_kw: Optional[dict] = None, capture: bool = False,
+                attn_window=None):
     linear_kw = linear_kw or {}
     captures: Optional[dict] = {} if capture else None
     h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
     a, new_cache = attention(cfg, blk["attention"], h, cos, sin, kv_cache,
-                             cache_position, attn_mask, linear_kw, captures)
+                             cache_position, attn_mask, linear_kw, captures,
+                         attn_window)
 
     def mlp(h):
         if captures is not None:
@@ -118,7 +121,8 @@ def block_apply(cfg: ModelConfig, blk: Params, x, cos=None, sin=None,
 
 def model_apply(cfg: ModelConfig, params: Params, input_ids,
                 positions=None, kv_caches=None, cache_position=None,
-                attn_mask=None, linear_kw=None, dtype=jnp.float32):
+                attn_mask=None, linear_kw=None, dtype=jnp.float32,
+                attn_window=None):
     B, S = input_ids.shape
     x = jnp.take(params["embed_in"]["weight"], input_ids, axis=0
                  ).astype(dtype)
@@ -135,7 +139,7 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids,
         cache_i = kv_caches[i] if kv_caches is not None else None
         x, nc, _ = block_apply(cfg, params["layers"][i], x, cos, sin,
                                cache_i, cache_position, attn_mask,
-                               linear_kw)
+                               linear_kw, attn_window=attn_window)
         if new_caches is not None:
             new_caches.append(nc)
     x = layer_norm(params["final_layer_norm"], x, cfg.rms_norm_eps)

@@ -32,9 +32,10 @@ import os
 from ..ops.dequant_xla import decode_weights
 from ..ops.qtensor import QuantizedTensor
 from ..ops.quant_matmul import quant_matmul
-from ..transforms.incoherence import (HadSpec, hadamard_transform,
-                                      matmul_hadU, matmul_hadUt,
-                                      matmul_hadUt_grouped)
+from ..transforms.incoherence import (HadSpec, finish_right,
+                                      hadamard_transform, matmul_hadU,
+                                      matmul_hadUt, matmul_hadUt_grouped,
+                                      right_b_factor)
 
 # Emit the left transform directly in the kernel's grouped-permuted
 # layout, skipping the explicit reshape/transpose x-permutation before the
@@ -42,17 +43,28 @@ from ..transforms.incoherence import (HadSpec, hadamard_transform,
 # Llama-2-7B E8P12 bs=1 decode (one v5e chip) — the single biggest decode
 # win. QFA_GROUPED_PROLOGUE=0 restores the plain path.
 _GROUPED_PROLOGUE = os.environ.get("QFA_GROUPED_PROLOGUE", "1") == "1"
+# Fold the right transform's lane-native B-side kron factor into the
+# kernel epilogue (cross-tile factors finish outside via finish_right).
+# Default OFF: measured 142.5 vs 148.2 tok/s on Llama-2-7B E8P12 bs=1
+# (v5e) — the per-tile Hb dot serializes with the kernel's DMA/decode
+# pipeline and costs more than the one XLA dot it replaces. Kept for
+# future hardware/A-B (QFA_RIGHT_IN_KERNEL=1).
+_RIGHT_IN_KERNEL = os.environ.get("QFA_RIGHT_IN_KERNEL", "0") == "1"
 
 
 def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
-                             scale_vec=None):
-    """Try the fused grouped-layout path; returns None to fall back.
-    ``scale_vec`` (q_out,) rides the kernel epilogue (fused per-channel
-    wscale·Wscale) instead of a separate elementwise op."""
+                             scale_vec=None, right_spec=None):
+    """Try the fused grouped-layout path; returns None to fall back, else
+    (out, right_done). ``scale_vec`` (q_out,) rides the kernel epilogue
+    (fused per-channel wscale·Wscale) instead of a separate elementwise
+    op; ``right_spec`` additionally folds the right transform's B-side
+    factor into the epilogue (right_done=True → caller must finish_right
+    instead of matmul_hadU)."""
     if not _GROUPED_PROLOGUE or x.shape[0] >= 32:
         return None
     try:
-        from ..ops.dequant_pallas import fused_quant_matmul_pre, supports
+        from ..ops.dequant_pallas import (can_fuse_right,
+                                          fused_quant_matmul_pre, supports)
         if not supports(qt):
             return None
     except Exception:
@@ -61,8 +73,14 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
                               scale=scale)
     if xg is None:
         return None
-    return fused_quant_matmul_pre(xg.astype(compute_dtype), qt,
-                                  scale_vec=scale_vec)
+    right_hb = None
+    if right_spec is not None and _RIGHT_IN_KERNEL:
+        rb = right_b_factor(right_spec)
+        if rb is not None and can_fuse_right(qt, rb[1]):
+            right_hb = jnp.asarray(rb[0], dtype=jnp.float32)
+    out = fused_quant_matmul_pre(xg.astype(compute_dtype), qt,
+                                 scale_vec=scale_vec, right_hb=right_hb)
+    return out, right_hb is not None
 
 
 @jax.tree_util.register_dataclass
@@ -230,13 +248,17 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
     x_dtype = x.dtype
     if f.SU is not None:
         x = x * f.SU.astype(x_dtype)
-    pre_fused = False
+    pre_fused = right_done = False
     big = None
     if matmul_impl in ("auto", "pallas"):
         sv = f.pre_vec if f.right_uniform else None
-        big = _grouped_prologue_matmul(x, f.left_spec, f.qweight, None,
-                                       compute_dtype, scale_vec=sv)
-        pre_fused = big is not None and sv is not None
+        rspec = f.segments[0].right_spec if f.right_uniform else None
+        res = _grouped_prologue_matmul(x, f.left_spec, f.qweight, None,
+                                       compute_dtype, scale_vec=sv,
+                                       right_spec=rspec)
+        if res is not None:
+            big, right_done = res
+            pre_fused = sv is not None
     if big is None:
         x = matmul_hadUt(x, f.left_spec)     # unscaled; wscale per segment
         x = x.astype(compute_dtype)
@@ -248,13 +270,17 @@ def fused_apply(f: FusedQuantLinear, x: jax.Array, *,
         seg0 = f.segments[0]
         q_out, nseg = seg0.q_out, len(f.segments)
         spec = seg0.right_spec                  # padN == q_out, shards == 1
-        had_scale = 1.0 / math.sqrt(spec.padN // spec.K)
-        Y = big if pre_fused else big * f.pre_vec.astype(x_dtype)
-        Y = Y.reshape(-1, nseg, spec.K, spec.padN // spec.K)
-        Y = hadamard_transform(Y, had_scale)
-        if f.right_hadK_stack is not None:
-            Y = jnp.einsum("mskp,sjk->msjp", Y,
-                           f.right_hadK_stack.astype(Y.dtype))
+        if right_done:
+            Y = finish_right(big.reshape(-1, nseg, q_out), spec,
+                             hadK_stack=f.right_hadK_stack)
+        else:
+            had_scale = 1.0 / math.sqrt(spec.padN // spec.K)
+            Y = big if pre_fused else big * f.pre_vec.astype(x_dtype)
+            Y = Y.reshape(-1, nseg, spec.K, spec.padN // spec.K)
+            Y = hadamard_transform(Y, had_scale)
+            if f.right_hadK_stack is not None:
+                Y = jnp.einsum("mskp,sjk->msjp", Y,
+                               f.right_hadK_stack.astype(Y.dtype))
         Y = Y.reshape(-1, nseg * q_out)
         if f.SV_all is not None:
             Y = Y * f.SV_all.astype(Y.dtype)
@@ -303,11 +329,16 @@ def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
         out = (x @ W.astype(x_dtype))[:, : p.out_features]
     else:
         sv = p.Wscale if p.per_channel else None
-        out = (_grouped_prologue_matmul(x, p.left_spec, p.qweight,
+        res = (_grouped_prologue_matmul(x, p.left_spec, p.qweight,
                                         p.wscale_float, compute_dtype,
-                                        scale_vec=sv)
+                                        scale_vec=sv,
+                                        right_spec=p.right_spec)
                if matmul_impl in ("auto", "pallas") else None)
-        pc_fused = out is not None and sv is not None
+        pc_fused = right_done = False
+        out = None
+        if res is not None:
+            out, right_done = res
+            pc_fused = sv is not None
         if out is None:
             x = matmul_hadUt(x, p.left_spec, scale=p.wscale_float)
             x = x.astype(compute_dtype)
@@ -315,7 +346,10 @@ def apply(p: QuantLinearParams, x: jax.Array, *, training: bool = False,
         out = out.astype(x_dtype)
         if p.per_channel and not pc_fused:
             out = out * p.Wscale.astype(x_dtype)
-        out = matmul_hadU(out, p.right_spec)[:, : p.out_features]
+        if right_done:
+            out = finish_right(out, p.right_spec)[:, : p.out_features]
+        else:
+            out = matmul_hadU(out, p.right_spec)[:, : p.out_features]
 
     if p.SV is not None:
         out = out * p.SV.astype(out.dtype)

@@ -57,16 +57,20 @@ def _nibble(w_i32, i: int):
     return jax.lax.shift_right_logical(w_i32, 4 * i) & 0xF
 
 
-def _make_kernel(affine, G: int, out_dtype, with_scale: bool):
+def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
+                 right_b: int):
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
-        s_ref = None
+        s_ref = hb_ref = None
         w_refs = refs[:-1]
+        if right_b:
+            hb_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
         if with_scale:
-            s_ref = refs[-2]
-            w_refs = refs[:-2]
+            s_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
         # dots run in the INPUT dtype: nibble values {0..15} are exact in
         # bf16, so bf16 x (the model path) gives bit-equal products at the
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
@@ -99,7 +103,19 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool):
             # per-output-channel scale (fused wscale*Wscale), folded here
             # instead of a separate (m, q_out) elementwise op per call
             out = out * s_ref[...].astype(jnp.float32)
-        o_ref[...] = out.astype(out_dtype)
+        out = out.astype(out_dtype)
+        if hb_ref is not None:
+            # B-side right-transform factor (lane-native H_B * had_scale):
+            # tile-local because right_b | TN and right_b | each segment's
+            # q_out; the cross-tile H_A / hadK factors finish outside
+            # (transforms.incoherence.finish_right)
+            mm, TN = out.shape
+            t = out.reshape(mm, TN // right_b, right_b)
+            t = jax.lax.dot_general(
+                t, hb_ref[...].astype(out.dtype), (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = t.astype(out_dtype).reshape(mm, TN)
+        o_ref[...] = out
 
     return kernel
 
@@ -125,13 +141,15 @@ def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("affine", "q_out", "out_dtype_str"))
 def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
-                scale_vec=None):
+                scale_vec=None, right_hb=None):
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
     TN = _pick_tn(q_out, Gp, n_planes)
     out_dtype = np.dtype(out_dtype_str)
-    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None)
+    B = 0 if right_hb is None else right_hb.shape[0]
+    assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
+    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B)
 
     plane_specs = [
         pl.BlockSpec((TN, Gp), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -142,6 +160,10 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
         plane_specs.append(pl.BlockSpec((1, TN), lambda i: (0, i),
                                         memory_space=pltpu.VMEM))
         args.append(scale_vec.reshape(1, q_out))
+    if right_hb is not None:
+        plane_specs.append(pl.BlockSpec((B, B), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        args.append(right_hb)
     return pl.pallas_call(
         kernel,
         grid=(q_out // TN,),
@@ -168,12 +190,24 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     return fused_quant_matmul_pre(x_perm, qt)
 
 
+def can_fuse_right(qt: QuantizedTensor, B: int) -> bool:
+    """True if the B-side right-transform factor can run in the kernel
+    epilogue for this tensor (the tile size must be a multiple of B)."""
+    Gp = qt.planes["w0"].shape[1]
+    TN = _pick_tn(qt.q_out, Gp, len(qt.planes))
+    return B > 0 and TN % B == 0
+
+
 def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
-                           scale_vec: jax.Array | None = None) -> jax.Array:
+                           scale_vec: jax.Array | None = None,
+                           right_hb: jax.Array | None = None) -> jax.Array:
     """Like fused_quant_matmul but with x ALREADY in grouped-permuted
     layout (m, 8*Gp) — produced for free by the transform via
     transforms.incoherence.matmul_hadUt_grouped. ``scale_vec`` (q_out,)
-    applies a per-output-channel scale in the kernel epilogue."""
+    applies a per-output-channel scale in the kernel epilogue; ``right_hb``
+    (B, B, pre-scaled) additionally applies the B-side right-transform
+    factor per B-block (caller must have checked ``can_fuse_right`` and
+    finishes with transforms.incoherence.finish_right)."""
     m = x_perm.shape[0]
     assert x_perm.shape[1] == 8 * qt.planes["w0"].shape[1], x_perm.shape
     mp = max(8, -(-m // 8) * 8)
@@ -181,5 +215,6 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
     out = _fused_call(x_perm, planes, qt.decode_affine, qt.q_out,
-                      np.dtype(x_perm.dtype).name, scale_vec=scale_vec)
+                      np.dtype(x_perm.dtype).name, scale_vec=scale_vec,
+                      right_hb=right_hb)
     return out[:m]

@@ -197,6 +197,48 @@ def full_U(spec: HadSpec) -> np.ndarray:
     return np.kron(hadK, H) / math.sqrt(spec.padN // spec.K)
 
 
+def right_b_factor(spec: HadSpec) -> Optional[Tuple[np.ndarray, int]]:
+    """(H_B * had_scale, B) — the lane-native low kron factor of the RIGHT
+    transform, for fusing its contraction into the Pallas kernel epilogue
+    (tile-local because B | TN and B | every segment's q_out). Returns None
+    when the transform doesn't factor that way (shards, non-pow2 M).
+    ``finish_right`` applies the remaining (cross-tile) factors."""
+    if spec.shards > 1:
+        return None
+    M = spec.padN // spec.K
+    if M < 8 or (M & (M - 1)) != 0:
+        return None
+    eb = min(M.bit_length() - 1, 7)
+    B = 1 << eb
+    return sylvester(eb) / math.sqrt(M), B
+
+
+def finish_right(Y: jax.Array, spec: HadSpec,
+                 hadK_stack: Optional[jax.Array] = None) -> jax.Array:
+    """Complete a right transform whose B-side factor already ran in the
+    kernel epilogue (right_b_factor): applies the high Sylvester factor
+    H_A (if any) and the hadK leading factor (or a stacked per-segment
+    hadK for fused groups). Y: (..., [nseg,] padN) b'-transformed."""
+    M = spec.padN // spec.K
+    e = M.bit_length() - 1
+    eb = min(e, 7)
+    ea = e - eb
+    A, B = 1 << ea, 1 << eb
+    dt = Y.dtype
+    lead = Y.shape[:-1]
+    Y = Y.reshape(*lead, spec.K, A, B)
+    if ea > 0:
+        Ha = jnp.asarray(sylvester(ea), dtype=dt)
+        Y = jnp.einsum("...kab,ca->...kcb", Y, Ha)
+    if hadK_stack is not None:
+        # (..., s, K, A, B) × (s, K', K): per-segment leading factor
+        Y = jnp.einsum("...skab,sjk->...sjab", Y, hadK_stack.astype(dt))
+    elif spec.K > 1:
+        hadK = jnp.asarray(spec.hadK, dtype=dt)
+        Y = jnp.einsum("...kab,jk->...jab", Y, hadK)
+    return Y.reshape(*lead, spec.padN)
+
+
 def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
                          scale: Optional[float | jax.Array] = None
                          ) -> Optional[jax.Array]:

@@ -91,3 +91,33 @@ def test_generate_stream_matches_generate():
                                       cache_len=640, dtype_str="float32"))
         got = np.concatenate([np.asarray(prompt)] + chunks, axis=1)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_static_window_all_families():
+    """attn_window decode must match full forward for every registered
+    architecture (the shared sdpa_cache_layout window path)."""
+    from quip_for_all_tpu.models.registry import get_arch
+    from quip_for_all_tpu.models.config import ModelConfig
+
+    for arch in ("gpt2", "gpt_neox", "opt", "falcon", "phi", "gptj"):
+        cfg = ModelConfig(vocab_size=128, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=4,
+                          max_position_embeddings=512, arch=arch)
+        A = get_arch(cfg)
+        params = getattr(A, f"init_{arch}_params")(cfg, seed=0)
+        ids = jnp.asarray((np.arange(20) * 11 % cfg.vocab_size)[None, :])
+        full_logits, _ = A.model_apply(cfg, params, ids)
+        caches = init_kv_caches(cfg, 1, 512, dtype=jnp.float32)
+        pos = jnp.arange(8)[None, :]
+        _, caches = A.model_apply(cfg, params, ids[:, :8], positions=pos,
+                                  kv_caches=caches, cache_position=0,
+                                  attn_window=256)
+        for t in range(8, 20):
+            lt, caches = A.model_apply(cfg, params, ids[:, t:t + 1],
+                                       positions=jnp.asarray([[t]]),
+                                       kv_caches=caches, cache_position=t,
+                                       attn_window=256)
+            np.testing.assert_allclose(np.asarray(lt[0, 0]),
+                                       np.asarray(full_logits[0, t]),
+                                       rtol=6e-3, atol=6e-3, err_msg=arch)
