@@ -35,6 +35,7 @@ import numpy as np
 from ..models import llama as M
 from ..models.config import ModelConfig
 from ..models.registry import get_arch
+from .generate import attn_bucket
 from .generate import sample_token
 
 
@@ -104,8 +105,10 @@ class ServingEngine:
         self._next_rid = 0
         self.key = jax.random.PRNGKey(seed)
 
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(0,))
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,))
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(0,),
+                               static_argnames=("attn_window",))
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,),
+                                static_argnames=("attn_window",))
 
     # ------------------------------------------------------------ public
 
@@ -127,26 +130,33 @@ class ServingEngine:
 
     # ------------------------------------------------------------ internals
 
-    def _prefill_impl(self, caches, params, toks, pos, take):
+    def _prefill_impl(self, caches, params, toks, pos, take,
+                      attn_window=None):
         """One chunk of batched prefill, written in place at each row's
         position. toks (B, C); pos (B,) chunk-start write positions (rows
         not prefilling park at S, the scratch region); take (B,) in-chunk
         index of each row's last prompt token (0 when not in this chunk).
-        Returns (caches, per-row logits at `take`)."""
+        attn_window (static): every PREFILLING row's query positions are
+        < attn_window, so attention reads only that cache prefix (parked
+        rows' outputs are discarded). Returns (caches, per-row logits at
+        `take`)."""
         C = toks.shape[1]
         positions = pos[:, None] + jnp.arange(C)[None, :]
         logits, caches = get_arch(self.cfg).model_apply(
             self.cfg, params, toks, positions=positions,
-            kv_caches=caches, cache_position=pos, dtype=self.dtype)
+            kv_caches=caches, cache_position=pos, dtype=self.dtype,
+            attn_window=attn_window)
         last = jnp.take_along_axis(
             logits, take[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
         return caches, last.astype(jnp.float32)
 
-    def _decode_impl(self, caches, params, tok, pos, active, key):
+    def _decode_impl(self, caches, params, tok, pos, active, key,
+                     attn_window=None):
         positions = pos[:, None]
         logits, caches = get_arch(self.cfg).model_apply(
             self.cfg, params, tok[:, None], positions=positions,
-            kv_caches=caches, cache_position=pos, dtype=self.dtype)
+            kv_caches=caches, cache_position=pos, dtype=self.dtype,
+            attn_window=attn_window)
         nxt = sample_token(logits[:, -1, :].astype(jnp.float32), key,
                            self.temperature, self.top_k)
         nxt = jnp.where(active, nxt, tok)
@@ -186,9 +196,12 @@ class ServingEngine:
                 if start + seg.shape[0] == req.prompt.shape[0]:
                     take[req.slot] = seg.shape[0] - 1
                     finals.append(req.slot)
+            w = attn_bucket(
+                min(self.S, max(start + C for r in admits
+                                if r.prompt.shape[0] > start)), self.S)
             self.caches, last = self._prefill(
                 self.caches, self.params, jnp.asarray(toks),
-                jnp.asarray(posv), jnp.asarray(take))
+                jnp.asarray(posv), jnp.asarray(take), attn_window=w)
             if finals:
                 last = np.asarray(last)
                 for slot in finals:
@@ -209,9 +222,11 @@ class ServingEngine:
         if not self.active.any():
             return []
         self.key, sub = jax.random.split(self.key)
+        w = attn_bucket(int(self.pos[self.active].max()) + 1, self.S)
         self.caches, nxt = self._decode(
             self.caches, self.params, jnp.asarray(self.last_tok),
-            jnp.asarray(self.pos), jnp.asarray(self.active), sub)
+            jnp.asarray(self.pos), jnp.asarray(self.active), sub,
+            attn_window=w)
         nxt = np.asarray(nxt)
         emitted = []
         for slot in range(self.B):
