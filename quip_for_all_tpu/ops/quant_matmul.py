@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from .dequant_xla import decode_weights
 from .qtensor import QuantizedTensor
 
-_SMALL_M = 32
+# TPU crossover: the fused kernel streams 4 bits/weight while the dense
+# path writes+rereads a bf16 W (~5x HBM) — decode cost is m-independent,
+# so the kernel wins well past the reference's m=32 CUDA threshold
+# (measured: fused ~40us vs dense ~600us per 4096x4096 call at m=32).
+_SMALL_M = 64
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor,
@@ -28,7 +32,13 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor,
         use_pallas = x.shape[0] < _SMALL_M and _pallas_available(qt)
         impl = "pallas" if use_pallas else "dequant"
     if impl == "pallas":
-        from .dequant_pallas import fused_quant_matmul
+        from .dequant_pallas import fused_quant_matmul, supports
+        # hard error, not fallback: a forced pallas run on an unsupported
+        # shape would silently compute garbage (q_out < tile size -> a
+        # zero-step grid leaves the output uninitialized)
+        assert supports(qt), (
+            f"pallas kernel unsupported for q_out={qt.q_out} (needs "
+            f"q_out % 128 == 0) / backend {jax.default_backend()!r}")
         return fused_quant_matmul(x, qt)
     W = decode_weights(qt, dtype=x.dtype)
     return jax.lax.dot_general(

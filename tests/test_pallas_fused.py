@@ -47,3 +47,21 @@ def test_fused_matches_xla(name, strategy, shape, rng, monkeypatch):
         jnp.asarray(x), qt))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 2e-5, (name, strategy, shape, rel)
+
+
+def test_forced_pallas_on_unsupported_shape_raises():
+    """impl='pallas' on a shape the kernel can't tile (q_out < 128) must
+    raise, not silently produce an uninitialized output."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from quip_for_all_tpu.codebooks import get_codebook
+    from quip_for_all_tpu.ops.qtensor import from_raw_idxs
+    from quip_for_all_tpu.ops.quant_matmul import quant_matmul
+
+    cb = get_codebook("E8P12")
+    idxs = np.zeros((64, 8), dtype=np.int32)
+    qt = from_raw_idxs(cb, idxs, 64, 64)
+    x = jnp.ones((4, 64), jnp.float32)
+    with pytest.raises(AssertionError):
+        quant_matmul(x, qt, impl="pallas")

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cache-len", type=int, default=2048)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace2")
     ap.add_argument("--buckets", type=int, default=40)
+    ap.add_argument("--start-pos", type=int, default=16,
+                    help="first decode position (picks the attention bucket)")
     ap.add_argument("--scan", type=int, default=0,
                     help="trace a donated lax.scan over N tokens "
                          "(the bench loop) instead of single steps")
@@ -83,7 +85,7 @@ def main():
             return jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32), caches
 
     tok = jnp.asarray([7], dtype=jnp.int32)
-    pos = jnp.asarray([16], dtype=jnp.int32)
+    pos = jnp.asarray([args.start_pos], dtype=jnp.int32)
     if args.scan:
         caches, toks = step(params, caches, tok, pos)
         _ = np.asarray(toks)
