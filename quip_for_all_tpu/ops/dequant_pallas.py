@@ -151,25 +151,61 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
     kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B)
 
+    # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
+    # — one (m, TN) accumulator spills once m grows past a few dozen rows
+    # (measured ~16 µs at m=8 but ~8 ms at m=256 on a 4096x4096 layer).
+    # The m axis is the INNER grid dim so each weight-plane block stays
+    # resident across all its m-tiles (fetched once per output tile).
+    TM = min(m, 32)
+    while m % TM != 0:
+        TM //= 2
+    if TM == m:
+        # decode shape: 1-D grid exactly as before (the 2-D grid with a
+        # trivial inner dim measurably hurt bs=1 pipelining)
+        plane_specs = [
+            pl.BlockSpec((TN, Gp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in planes_tuple
+        ]
+        args = list(planes_tuple)
+        if scale_vec is not None:
+            plane_specs.append(pl.BlockSpec((1, TN), lambda i: (0, i),
+                                            memory_space=pltpu.VMEM))
+            args.append(scale_vec.reshape(1, q_out))
+        if right_hb is not None:
+            plane_specs.append(pl.BlockSpec((B, B), lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM))
+            args.append(right_hb)
+        return pl.pallas_call(
+            kernel,
+            grid=(q_out // TN,),
+            in_specs=[pl.BlockSpec((m, 8 * Gp), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] + plane_specs,
+            out_specs=pl.BlockSpec((m, TN), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
+            interpret=_INTERPRET,
+        )(x_perm, *args)
     plane_specs = [
-        pl.BlockSpec((TN, Gp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((TN, Gp), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM)
         for _ in planes_tuple
     ]
     args = list(planes_tuple)
     if scale_vec is not None:
-        plane_specs.append(pl.BlockSpec((1, TN), lambda i: (0, i),
+        plane_specs.append(pl.BlockSpec((1, TN), lambda i, j: (0, i),
                                         memory_space=pltpu.VMEM))
         args.append(scale_vec.reshape(1, q_out))
     if right_hb is not None:
-        plane_specs.append(pl.BlockSpec((B, B), lambda i: (0, 0),
+        plane_specs.append(pl.BlockSpec((B, B), lambda i, j: (0, 0),
                                         memory_space=pltpu.VMEM))
         args.append(right_hb)
     return pl.pallas_call(
         kernel,
-        grid=(q_out // TN,),
-        in_specs=[pl.BlockSpec((m, 8 * Gp), lambda i: (0, 0),
+        grid=(q_out // TN, m // TM),
+        in_specs=[pl.BlockSpec((TM, 8 * Gp), lambda i, j: (j, 0),
                                memory_space=pltpu.VMEM)] + plane_specs,
-        out_specs=pl.BlockSpec((m, TN), lambda i: (0, i),
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
         interpret=_INTERPRET,

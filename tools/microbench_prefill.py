@@ -67,10 +67,13 @@ def main():
         f = jax.jit(many)
         r = f(x)
         _ = np.asarray(r)            # compile + warm
-        t0 = time.time()
-        r = f(x)
-        _ = np.asarray(r)
-        dt = (time.time() - t0 - 0.032) / args.reps
+        times = []
+        for _i in range(5):
+            t0 = time.time()
+            r = f(x)
+            _ = np.asarray(r)
+            times.append(time.time() - t0)
+        dt = (float(np.median(times)) - 0.032) / args.reps
         return dt * 1e6
 
     print(f"# {args.codebook} {args.n}x{args.k}, reps={args.reps}")
