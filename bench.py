@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny model smoke-run")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prefill", type=int, default=0, metavar="S",
+                    help="measure prefill throughput over an S-token "
+                    "prompt instead of decode")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "dequant", "pallas"])
     ap.add_argument("--dense-head", action="store_true",
@@ -74,6 +77,45 @@ def main():
     B = args.batch
     caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16)
     linear_kw = {"matmul_impl": args.impl}
+    from quip_for_all_tpu.runtime.generate import attn_bucket
+
+    if args.prefill:
+        # prefill throughput: one full forward over (B, S) writing the
+        # cache; --impl pallas/dequant switches the m>=... regime under test
+        S = args.prefill
+        ids = jnp.asarray(
+            (np.arange(B * S).reshape(B, S) * 13) % cfg.vocab_size,
+            dtype=jnp.int32)
+        pos = jnp.arange(S)[None, :].repeat(B, 0)
+
+        def prefill(params, caches, ids):
+            logits, caches = M.model_apply(
+                cfg, params, ids, positions=pos, kv_caches=caches,
+                cache_position=0, linear_kw=linear_kw, dtype=jnp.bfloat16,
+                attn_window=attn_bucket(S, args.cache_len))
+            return caches, logits[:, -1]
+        fn = jax.jit(prefill, donate_argnums=(1,))
+        t0 = time.time()
+        caches, last = fn(params, caches, ids)
+        _ = np.asarray(last)
+        print(f"# prefill compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            caches, last = fn(params, caches, ids)
+            _ = np.asarray(last)
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        print(f"# prefill windows: "
+              f"{[round(B * S / t, 0) for t in times]}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"prefill_tokens_per_sec_{name}"
+                      f"_{args.codebook.lower()}_impl_{args.impl}",
+            "value": round(B * S / dt, 1),
+            "unit": "tokens/s",
+        }))
+        return
 
     def decode_many(params, caches, tok, pos, n, attn_window):
         def step(carry, _):
@@ -90,7 +132,6 @@ def main():
         return caches, toks
 
     import functools
-    from quip_for_all_tpu.runtime.generate import attn_bucket
 
     # per-window static attention buckets, exactly as generate() segments
     # its decode scan: window i (positions known on host) attends a fixed
