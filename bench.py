@@ -26,6 +26,11 @@ BASELINE_TOKENS_PER_SEC = 138.0  # reference README.md:73
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--codebook", default="E8P12")
+    ap.add_argument("--model", default="llama2_7b",
+                    choices=["llama2_7b", "mixtral"],
+                    help="mixtral = 8x7B shapes at 16 layers (the 32-layer "
+                    "nibble-format model exceeds one chip's 16GB HBM; "
+                    "north-star #4 runs expert-sharded on a mesh)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--cache-len", type=int, default=2048)
@@ -61,7 +66,19 @@ def main():
                           intermediate_size=512, num_hidden_layers=2,
                           num_attention_heads=4, num_key_value_heads=4,
                           max_position_embeddings=args.cache_len)
-        name = "tiny"
+        if args.model == "mixtral":
+            cfg = ModelConfig(arch="mixtral", vocab_size=512,
+                              hidden_size=256, intermediate_size=512,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              num_key_value_heads=2, num_local_experts=4,
+                              num_experts_per_tok=2,
+                              max_position_embeddings=args.cache_len)
+        name = "tiny_" + args.model if args.model != "llama2_7b" else "tiny"
+    elif args.model == "mixtral":
+        from quip_for_all_tpu.models.config import mixtral_8x7b_config
+        cfg = mixtral_8x7b_config()
+        cfg = type(cfg)(**{**cfg.to_dict(), "num_hidden_layers": 16})
+        name = "mixtral8x7b_16l"
     else:
         cfg = llama2_7b_config()
         name = "llama2_7b"
