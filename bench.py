@@ -155,10 +155,17 @@ def main():
     # cache prefix attn_bucket(end_pos) — no per-layer lax.switch, and no
     # over-reading a max-sized window at early positions. AOT-precompile
     # every distinct bucket so no compile lands inside a timed window.
+    # Window protocol: positions advance sequentially; a window is TIMED
+    # only once its bucket's compiled program has already executed at
+    # least once — the FIRST execution of each AOT program pays a one-time
+    # program-load to the remote worker (measured: 126 and 98 tok/s for
+    # the first 512-/1024-bucket windows vs 145-147 warm, while the traced
+    # steady-state cost at bucket 1024 matches pure physics).
     warmup, reps = (0, 1) if args.small else (2, 5)
-    nwin = 1 + warmup + reps
+    max_win = 2 + 3 * (1 + warmup + reps)
     start = 16
-    ends = [start + args.tokens * (i + 1) for i in range(nwin)]
+    ends = [start + args.tokens * (i + 1) for i in range(max_win)
+            if start + args.tokens * (i + 1) + 16 <= args.cache_len]
     buckets = sorted({attn_bucket(e, args.cache_len) for e in ends})
 
     tok = jnp.full((B,), 7, dtype=jnp.int32)
@@ -186,19 +193,26 @@ def main():
     _ = np.asarray(toks)
     print(f"# first window: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # the remote worker reads ~20-50% low for the first windows after a
-    # large param transfer (measured: 69.8 -> 137 tok/s within 3 windows);
-    # run warmup windows untimed, then report the median of 5 timed ones
-    for i in range(warmup):
-        pos = pos + args.tokens
-        caches, toks = run_window(caches, pos, ends[1 + i])
-        _ = np.asarray(toks)
+    # the remote worker also reads ~20-50% low for the first windows after
+    # a large param transfer (measured: 69.8 -> 137 tok/s within 3
+    # windows): `warmup` extra untimed windows beyond the per-program ones
+    assert len(ends) >= 2, "cache too short for even one timed window"
+    warm_left = min(warmup, max(0, len(ends) - 1 - reps - 2))
+    ran = {attn_bucket(ends[0], args.cache_len)}
     windows = []
-    for i in range(reps):
+    for e in ends[1:]:
+        if len(windows) >= reps:
+            break
         pos = pos + args.tokens
+        b = attn_bucket(e, args.cache_len)
+        first_of_bucket = b not in ran
+        ran.add(b)
         t0 = time.time()
-        caches, toks = run_window(caches, pos, ends[1 + warmup + i])
+        caches, toks = run_window(caches, pos, e)
         _ = np.asarray(toks)
+        if first_of_bucket or warm_left > 0:
+            warm_left -= 0 if first_of_bucket else 1
+            continue
         windows.append(time.time() - t0)
     dt = float(np.median(windows))
     tps = args.tokens * B / dt
