@@ -65,3 +65,42 @@ def test_forced_pallas_on_unsupported_shape_raises():
     x = jnp.ones((4, 64), jnp.float32)
     with pytest.raises(AssertionError):
         quant_matmul(x, qt, impl="pallas")
+
+
+@pytest.mark.parametrize("m", [8, 33, 48, 96, 256])
+def test_fused_m_tiled_grid_matches_xla(m, rng):
+    """m > 32 engages the 2-D m-tiled grid (accumulator stays in vector
+    registers); every m must match the dense decode exactly."""
+    cb = get_codebook("E8P12")
+    q_out, q_in = 256, 512
+    raw = rng.integers(0, 1 << 16, size=(q_out, q_in // 8),
+                       dtype=np.int64).astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in)
+    x = rng.standard_normal((m, q_in)).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = x @ W.T
+    out = np.asarray(dequant_pallas.fused_quant_matmul(jnp.asarray(x), qt))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (m, rel)
+
+
+@pytest.mark.parametrize("m", [8, 48])
+def test_fused_scale_vec_m_tiled(m, rng):
+    """scale_vec epilogue under both the 1-D and m-tiled grids."""
+    cb = get_codebook("E8P12")
+    q_out, q_in = 256, 512
+    raw = rng.integers(0, 1 << 16, size=(q_out, q_in // 8),
+                       dtype=np.int64).astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in)
+    x = rng.standard_normal((m, q_in)).astype(np.float32)
+    sv = rng.standard_normal(q_out).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = (x @ W.T) * sv[None, :]
+    G = q_in // 8
+    Gp = qt.planes["w0"].shape[1]
+    xg = x.reshape(m, G, 8).transpose(0, 2, 1)          # (m, 8, G)
+    xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
+    out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        jnp.asarray(xg), qt, scale_vec=jnp.asarray(sv)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (m, rel)
