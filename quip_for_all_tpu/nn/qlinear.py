@@ -60,7 +60,7 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
     op; ``right_spec`` additionally folds the right transform's B-side
     factor into the epilogue (right_done=True → caller must finish_right
     instead of matmul_hadU)."""
-    if not _GROUPED_PROLOGUE or x.shape[0] >= 64:
+    if not _GROUPED_PROLOGUE or x.shape[0] > 1024:
         return None
     try:
         from ..ops.dequant_pallas import (can_fuse_right,

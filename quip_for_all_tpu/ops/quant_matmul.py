@@ -18,10 +18,13 @@ from .dequant_xla import decode_weights
 from .qtensor import QuantizedTensor
 
 # TPU crossover: the fused kernel streams 4 bits/weight while the dense
-# path writes+rereads a bf16 W (~5x HBM) — decode cost is m-independent,
-# so the kernel wins well past the reference's m=32 CUDA threshold
-# (measured: fused ~40us vs dense ~600us per 4096x4096 call at m=32).
-_SMALL_M = 64
+# path writes+rereads a bf16 W (~5x HBM), and with m-tiling (TM<=32
+# accumulator tiles) it stays register-resident at any m — measured
+# whole-model: bs=32 decode 1887 vs 149 tok/s, S=512 prefill 3617 vs
+# 3166 tok/s. The reference's m=32 CUDA threshold is wrong for TPU.
+# Above 1024 rows the per-m-tile plane re-decode is unmeasured, so auto
+# falls back to dense there (eval_ppl's S=2048 windows etc.).
+_SMALL_M = 1025
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor,
