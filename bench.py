@@ -77,7 +77,8 @@ def main():
     elif args.model == "mixtral":
         from quip_for_all_tpu.models.config import mixtral_8x7b_config
         cfg = mixtral_8x7b_config()
-        cfg = type(cfg)(**{**cfg.to_dict(), "num_hidden_layers": 16})
+        import dataclasses
+        cfg = dataclasses.replace(cfg, num_hidden_layers=16)
         name = "mixtral8x7b_16l"
     else:
         cfg = llama2_7b_config()
@@ -210,13 +211,17 @@ def main():
         t0 = time.time()
         caches, toks = run_window(caches, pos, e)
         _ = np.asarray(toks)
-        if first_of_bucket or warm_left > 0:
+        if (first_of_bucket or warm_left > 0) and e != ends[-1]:
             warm_left -= 0 if first_of_bucket else 1
             continue
         windows.append(time.time() - t0)
+    assert windows, "no timed windows (cache too short for the protocol)"
+    if len(windows) < reps:
+        print(f"# WARNING: only {len(windows)}/{reps} timed windows fit",
+              file=sys.stderr)
     dt = float(np.median(windows))
     tps = args.tokens * B / dt
-    print(f"# median of {reps} windows: {args.tokens} tokens in {dt:.3f}s "
+    print(f"# median of {len(windows)} windows: {args.tokens} tokens in {dt:.3f}s "
           f"(windows: {[round(args.tokens * B / w, 1) for w in windows]})",
           file=sys.stderr)
 

@@ -100,9 +100,11 @@ def _sample_windows(joined_ids: np.ndarray, nsamples: int, seqlen: int,
                     seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = joined_ids.shape[0]
-    if n < seqlen + 1:
+    if n < seqlen:
         raise ValueError(f"corpus too short: {n} tokens < seqlen {seqlen}")
-    starts = rng.integers(0, n - seqlen - 1, size=nsamples)
+    # start range inclusive of n - seqlen, matching the reference's
+    # random.randint(0, n - seqlen) (data.py:98)
+    starts = rng.integers(0, n - seqlen + 1, size=nsamples)
     return np.stack([joined_ids[s:s + seqlen] for s in starts]).astype(
         np.int32)
 
@@ -143,8 +145,8 @@ def _file_corpus_tokens(spec: str, tokenizer: Any, nsamples: int,
             i = int(rng.integers(0, len(docs)))
             ids = _tokenize(tokenizer, docs[i])
             attempts += 1
-            if ids.shape[0] >= seqlen + 1:
-                s = int(rng.integers(0, ids.shape[0] - seqlen))
+            if ids.shape[0] >= seqlen:
+                s = int(rng.integers(0, ids.shape[0] - seqlen + 1))
                 out.append(ids[s:s + seqlen])
             elif attempts > 50 * nsamples:
                 raise ValueError("not enough long documents in corpus")
@@ -196,8 +198,8 @@ def get_calibration_tokens(dataset: str, tokenizer: Any, nsamples: int,
         i = int(rng.integers(0, n_docs))
         ids = _tokenize(tokenizer, ds[i][field])
         attempts += 1
-        if ids.shape[0] >= seqlen + 1:
-            s = int(rng.integers(0, ids.shape[0] - seqlen))
+        if ids.shape[0] >= seqlen:
+            s = int(rng.integers(0, ids.shape[0] - seqlen + 1))
             out.append(ids[s:s + seqlen])
         elif attempts > 50 * nsamples:
             raise ValueError("not enough long documents for calibration")

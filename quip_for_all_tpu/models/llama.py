@@ -230,11 +230,11 @@ def moe_apply(cfg: ModelConfig, moe_p: Params, x: jax.Array, linear_kw: dict,
             return moe_sparse_apply(cfg, moe_p, x, router_logits,
                                     compute_dtype=cd)
         from ..nn.qmoe import unstack_qlinear
-        experts = [
-            {"w1": unstack_qlinear(moe_p["experts_stacked"]["w13"], e)[0],
-             "w3": unstack_qlinear(moe_p["experts_stacked"]["w13"], e)[1],
-             "w2": unstack_qlinear(moe_p["experts_stacked"]["w2"], e)[0]}
-            for e in range(cfg.num_local_experts)]
+        experts = []
+        for e in range(cfg.num_local_experts):
+            w1, w3 = unstack_qlinear(moe_p["experts_stacked"]["w13"], e)
+            w2, = unstack_qlinear(moe_p["experts_stacked"]["w2"], e)
+            experts.append({"w1": w1, "w3": w3, "w2": w2})
     else:
         experts = moe_p["experts"]
     E, K = cfg.num_local_experts, cfg.num_experts_per_tok

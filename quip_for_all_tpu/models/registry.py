@@ -100,10 +100,17 @@ def final_hidden(cfg: ModelConfig, params, x):
 
 def untied_head_key(cfg: ModelConfig, params):
     """Param key of the standalone output-head linear, or None when the
-    head is tied to the embedding (and therefore not quantizable)."""
+    head is tied to the embedding (and therefore not quantizable). The
+    head may be a dense {'weight': ...} dict OR an already-quantized
+    QuantLinearParams (quantize_lm_head=True) — linear_apply dispatches
+    on both (llama.py linear_apply)."""
     key = "embed_out" if cfg.arch == "gpt_neox" else "lm_head"
     lin = params.get(key)
-    return key if isinstance(lin, dict) and "weight" in lin else None
+    if lin is None:
+        return None
+    if isinstance(lin, dict):
+        return key if "weight" in lin else None
+    return key           # QuantLinearParams (or another linear pytree)
 
 
 def head_logits(cfg: ModelConfig, params, h, linear_kw=None):

@@ -243,14 +243,73 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
     applies a per-output-channel scale in the kernel epilogue; ``right_hb``
     (B, B, pre-scaled) additionally applies the B-side right-transform
     factor per B-block (caller must have checked ``can_fuse_right`` and
-    finishes with transforms.incoherence.finish_right)."""
+    finishes with transforms.incoherence.finish_right).
+
+    Differentiable w.r.t. x_perm and scale_vec (custom VJP: the backward
+    pass decodes the dense weight, exactly the training-path cost) — e.g.
+    LoRA training takes gradients THROUGH frozen quantized base layers."""
     m = x_perm.shape[0]
     assert x_perm.shape[1] == 8 * qt.planes["w0"].shape[1], x_perm.shape
     mp = max(8, -(-m // 8) * 8)
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
-    out = _fused_call(x_perm, planes, qt.decode_affine, qt.q_out,
-                      np.dtype(x_perm.dtype).name, scale_vec=scale_vec,
-                      right_hb=right_hb)
+    meta = (qt.decode_affine, qt.q_out, qt.q_in,
+            np.dtype(x_perm.dtype).name, qt.codebook_id,
+            float(qt.opt_resid_scale))
+    out = _fused_core(meta, x_perm, planes, scale_vec, right_hb)
     return out[:m]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_core(meta, x_perm, planes, scale_vec, right_hb):
+    affine, q_out, q_in, out_dtype_str = meta[:4]
+    return _fused_call(x_perm, planes, affine, q_out, out_dtype_str,
+                       scale_vec=scale_vec, right_hb=right_hb)
+
+
+def _fused_core_fwd(meta, x_perm, planes, scale_vec, right_hb):
+    out = _fused_core(meta, x_perm, planes, scale_vec, right_hb)
+    return out, (x_perm, planes, scale_vec, right_hb)
+
+
+def _fused_core_bwd(meta, res, g):
+    """Backward via dense decode (the training-grade path): the kernel's
+    output equals x_nat @ W^T (parity-tested; the per-element beta is part
+    of W, so the rank-1 rowsum correction needs no special casing)."""
+    affine, q_out, q_in, out_dtype_str, cb_id, ors = meta
+    x_perm, planes, scale_vec, right_hb = res
+    from .dequant_xla import decode_weights
+    qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},
+                         cb_id, q_out, q_in, ors)
+    mp = x_perm.shape[0]
+    Gp = planes[0].shape[1]
+    G = q_in // 8
+    gg = g.astype(jnp.float32)
+    if right_hb is not None:
+        B = right_hb.shape[0]
+        # forward: out2[.., b'] = sum_b t[.., b] * Hb[b', b]
+        gg = (gg.reshape(mp, q_out // B, B)
+              @ right_hb.astype(jnp.float32)).reshape(mp, q_out)
+    W = decode_weights(qt, dtype=jnp.float32)          # (q_out, q_in)
+    ds = None
+    if scale_vec is not None:
+        x_nat = (x_perm.reshape(mp, 8, Gp)[:, :, :G]
+                 .transpose(0, 2, 1).reshape(mp, q_in)
+                 .astype(jnp.float32))
+        out0 = x_nat @ W.T
+        ds = (gg * out0).sum(axis=0).astype(scale_vec.dtype)
+        gg = gg * scale_vec.astype(jnp.float32)[None, :]
+    dx_nat = gg @ W                                    # (mp, q_in)
+    dxg = dx_nat.reshape(mp, G, 8).transpose(0, 2, 1)
+    if Gp != G:
+        dxg = jnp.pad(dxg, ((0, 0), (0, 0), (0, Gp - G)))
+    dx = dxg.reshape(mp, 8 * Gp).astype(x_perm.dtype)
+    f0 = jax.dtypes.float0
+    dplanes = tuple(np.zeros(p.shape, f0) for p in planes)
+    drhb = (None if right_hb is None
+            else jnp.zeros_like(right_hb))
+    return dx, dplanes, ds, drhb
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)

@@ -193,10 +193,19 @@ def _save_sharded(flat: Dict[str, np.ndarray], save_dir: str,
     saves 10GB accelerate shards; hf_import reads this layout back)."""
     total = sum(int(v.nbytes) for v in flat.values())
     index_path = os.path.join(save_dir, "model.safetensors.index.json")
+
+    def _drop_stale_shards(keep: set):
+        import glob as _glob
+        for p in _glob.glob(os.path.join(save_dir,
+                                         "model-*-of-*.safetensors")):
+            if os.path.basename(p) not in keep:
+                os.remove(p)
+
     if total <= max_bytes:
         save_file(flat, os.path.join(save_dir, "model.safetensors"))
         if os.path.exists(index_path):
             os.remove(index_path)
+        _drop_stale_shards(set())        # sharded -> single re-save
         return
     shards = [{}]
     cur = 0
@@ -215,6 +224,7 @@ def _save_sharded(flat: Dict[str, np.ndarray], save_dir: str,
     single = os.path.join(save_dir, "model.safetensors")
     if os.path.exists(single):
         os.remove(single)
+    _drop_stale_shards(set(weight_map.values()))   # shrunk re-save
     with open(index_path, "w") as f:
         json.dump({"metadata": {"total_size": total},
                    "weight_map": weight_map}, f, indent=2)

@@ -14,6 +14,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Run the Pallas kernels in interpret mode for the WHOLE suite: every
+# model/serving/finetune test then exercises the real kernel path (this
+# was previously accidental — test_pallas_fused's module-level env set
+# leaked at collection time — and it surfaced a real bug: gradients
+# through the kernel in LoRA training; now it's deliberate).
+os.environ.setdefault("QFA_PALLAS_INTERPRET", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -77,3 +77,30 @@ def test_quantize_lm_head_gpt_neox():
     ppl = perplexity(cfg, params, synthetic_tokens(8, 24, cfg.vocab_size, 2),
                      batch_size=4)
     assert np.isfinite(ppl)
+
+
+def test_head_logits_uses_quantized_untied_head():
+    """head_logits must route through a QUANTIZED untied lm_head, not
+    silently fall back to the tied-embedding projection (regression:
+    untied_head_key() returned None for QuantLinearParams)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from quip_for_all_tpu.models import llama as M
+    from quip_for_all_tpu.models.config import tiny_config
+    from quip_for_all_tpu.models.registry import (head_logits,
+                                                  untied_head_key)
+    from quip_for_all_tpu.utils.random_quantized import \
+        random_quantized_model
+
+    cfg = tiny_config()
+    params = random_quantized_model(cfg, codebook="E8P12", seed=0,
+                                    quantize_head=True)
+    assert untied_head_key(cfg, params) == "lm_head"
+    h = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, cfg.hidden_size)), jnp.float32)
+    got = np.asarray(head_logits(cfg, params, h))
+    want = np.asarray(M.linear_apply(params["lm_head"], h))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    tied = np.asarray(
+        h @ params["embed_tokens"]["weight"].astype(h.dtype).T)
+    assert np.abs(got - tied).max() > 1e-2  # really not the tied path

@@ -104,3 +104,57 @@ def test_fused_scale_vec_m_tiled(m, rng):
         jnp.asarray(xg), qt, scale_vec=jnp.asarray(sv)))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 2e-5, (m, rel)
+
+
+def test_fused_custom_vjp_matches_dense_grad(rng):
+    """Gradients THROUGH the fused kernel (custom VJP, dense-decode
+    backward) must match autodiff through the dense reference — the LoRA
+    training path takes grads through frozen quantized base layers."""
+    cb = get_codebook("E8P12")
+    q_out, q_in = 256, 512
+    raw = rng.integers(0, 1 << 16, size=(q_out, q_in // 8),
+                       dtype=np.int64).astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    x = jnp.asarray(rng.standard_normal((5, q_in)), jnp.float32)
+    g_out = jnp.asarray(rng.standard_normal((5, q_out)), jnp.float32)
+
+    def f_fused(x):
+        return (dequant_pallas.fused_quant_matmul(x, qt) * g_out).sum()
+
+    def f_dense(x):
+        return ((x @ jnp.asarray(W).T) * g_out).sum()
+
+    gf = np.asarray(jax.grad(f_fused)(x))
+    gd = np.asarray(jax.grad(f_dense)(x))
+    np.testing.assert_allclose(gf, gd, rtol=1e-4, atol=1e-4)
+
+    # with scale_vec + right_hb epilogues
+    from quip_for_all_tpu.transforms.incoherence import (HadSpec,
+                                                         finish_right,
+                                                         right_b_factor)
+    sv = jnp.asarray(rng.standard_normal(q_out), jnp.float32)
+    spec = HadSpec(None, 1, q_out)
+    hb, B = right_b_factor(spec)
+    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+
+    def pre(x):
+        xg = x.reshape(-1, G, 8).transpose(0, 2, 1)
+        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, Gp - G)))
+        return xg.reshape(x.shape[0], 8 * Gp)
+
+    def f_fused2(x, sv):
+        y = dequant_pallas.fused_quant_matmul_pre(
+            pre(x), qt, scale_vec=sv, right_hb=jnp.asarray(hb, jnp.float32))
+        return (finish_right(y, spec) * g_out).sum()
+
+    def f_dense2(x, sv):
+        y = (x @ jnp.asarray(W).T) * sv[None, :]
+        Yr = y.reshape(-1, q_out // B, B) @ jnp.asarray(hb.T, jnp.float32)
+        return (finish_right(Yr.reshape(-1, q_out), spec) * g_out).sum()
+
+    for argnum in (0, 1):
+        gf = np.asarray(jax.grad(f_fused2, argnums=argnum)(x, sv))
+        gd = np.asarray(jax.grad(f_dense2, argnums=argnum)(x, sv))
+        np.testing.assert_allclose(gf, gd, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"argnum {argnum}")

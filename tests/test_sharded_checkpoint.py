@@ -103,3 +103,25 @@ def test_hf_config_dict_all_arches():
         hf = hf_config_dict(cfg)
         assert hf["model_type"]
         assert hf.get("vocab_size") == 256
+
+
+def test_resave_removes_stale_shards(tmp_path):
+    """Re-saving into the same dir must not leave shards from a previous
+    (larger or sharded) save behind."""
+    import glob
+
+    cfg, qparams, qcfg = _quantized_tiny()
+    d = str(tmp_path / "ck")
+    save_quantized(cfg, qparams, qcfg, d, max_shard_size="60KB")
+    n1 = len(glob.glob(os.path.join(d, "model-*-of-*.safetensors")))
+    assert n1 > 1
+    save_quantized(cfg, qparams, qcfg, d, max_shard_size="90KB")
+    files = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(d, "model-*-of-*.safetensors")))
+    with open(os.path.join(d, "model.safetensors.index.json")) as f:
+        idx = json.load(f)
+    assert set(files) == set(idx["weight_map"].values())
+    save_quantized(cfg, qparams, qcfg, d)        # single-file re-save
+    assert not glob.glob(os.path.join(d, "model-*-of-*.safetensors"))
+    cfg2, lp, _ = load_quantized(d)
+    assert cfg2.hidden_size == cfg.hidden_size
