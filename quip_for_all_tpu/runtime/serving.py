@@ -54,6 +54,7 @@ class ServingEngine:
                  dtype=jnp.bfloat16, temperature: float = 0.0,
                  top_k: int = 0, prefill_buckets=None,
                  prefill_chunk: Optional[int] = None,
+                 decode_chunk: int = 8,
                  seed: int = 0, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
@@ -76,6 +77,7 @@ class ServingEngine:
             prefill_chunk = (min(prefill_buckets) if prefill_buckets
                              else min(128, cache_len))
         self.C = min(int(prefill_chunk), cache_len)
+        self.decode_chunk = max(1, int(decode_chunk))
         KV, hd = cfg.num_key_value_heads, cfg.head_dim
 
         def _kv(shape):
@@ -106,7 +108,7 @@ class ServingEngine:
         self.key = jax.random.PRNGKey(seed)
 
         self._decode = jax.jit(self._decode_impl, donate_argnums=(0,),
-                               static_argnames=("attn_window",))
+                               static_argnames=("attn_window", "chunk"))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,),
                                 static_argnames=("attn_window",))
 
@@ -151,16 +153,29 @@ class ServingEngine:
         return caches, last.astype(jnp.float32)
 
     def _decode_impl(self, caches, params, tok, pos, active, key,
-                     attn_window=None):
-        positions = pos[:, None]
-        logits, caches = get_arch(self.cfg).model_apply(
-            self.cfg, params, tok[:, None], positions=positions,
-            kv_caches=caches, cache_position=pos, dtype=self.dtype,
-            attn_window=attn_window)
-        nxt = sample_token(logits[:, -1, :].astype(jnp.float32), key,
-                           self.temperature, self.top_k)
-        nxt = jnp.where(active, nxt, tok)
-        return caches, nxt
+                     attn_window=None, chunk=1):
+        """`chunk` (static) decode steps in ONE device program — the
+        scheduler only intervenes (admit/evict) at chunk boundaries, the
+        standard iteration-granularity tradeoff; over the remote-TPU relay
+        this also amortizes the ~32 ms per-call dispatch. Returns the
+        (chunk, B) token matrix; finished slots' surplus tokens are
+        discarded by the host."""
+        A = get_arch(self.cfg)
+
+        def step(carry, _):
+            caches, tok, pos, key = carry
+            key, sub = jax.random.split(key)
+            logits, caches = A.model_apply(
+                self.cfg, params, tok[:, None], positions=pos[:, None],
+                kv_caches=caches, cache_position=pos, dtype=self.dtype,
+                attn_window=attn_window)
+            nxt = sample_token(logits[:, -1, :].astype(jnp.float32), sub,
+                               self.temperature, self.top_k)
+            nxt = jnp.where(active, nxt, tok)
+            return (caches, nxt, pos + active.astype(pos.dtype), key), nxt
+        (caches, _, _, _), toks = jax.lax.scan(
+            step, (caches, tok, pos, key), None, length=chunk)
+        return caches, toks
 
     def _admit(self):
         admits: List[_Request] = []
@@ -222,26 +237,30 @@ class ServingEngine:
         if not self.active.any():
             return []
         self.key, sub = jax.random.split(self.key)
-        w = attn_bucket(int(self.pos[self.active].max()) + 1, self.S)
-        self.caches, nxt = self._decode(
+        max_pos = int(self.pos[self.active].max())
+        n = max(1, min(self.decode_chunk, self.S - 1 - max_pos))
+        w = attn_bucket(max_pos + n, self.S)
+        self.caches, toks = self._decode(
             self.caches, self.params, jnp.asarray(self.last_tok),
             jnp.asarray(self.pos), jnp.asarray(self.active), sub,
-            attn_window=w)
-        nxt = np.asarray(nxt)
+            attn_window=w, chunk=n)
+        toks = np.asarray(toks)                       # (n, B)
         emitted = []
-        for slot in range(self.B):
-            if not self.active[slot]:
-                continue
-            req = self.slot_req[slot]
-            req.generated.append(int(nxt[slot]))
-            emitted.append((req.rid, int(nxt[slot])))
-            self.pos[slot] += 1
-            self.last_tok[slot] = nxt[slot]
-            if (len(req.generated) >= req.max_new_tokens
-                    or self.pos[slot] >= self.S - 1):
-                self.done[req.rid] = np.concatenate(
-                    [req.prompt, np.asarray(req.generated,
-                                            dtype=np.int32)])
-                self.active[slot] = False
-                self.slot_req[slot] = None
+        for t in range(n):
+            nxt = toks[t]
+            for slot in range(self.B):
+                if not self.active[slot]:
+                    continue
+                req = self.slot_req[slot]
+                req.generated.append(int(nxt[slot]))
+                emitted.append((req.rid, int(nxt[slot])))
+                self.pos[slot] += 1
+                self.last_tok[slot] = nxt[slot]
+                if (len(req.generated) >= req.max_new_tokens
+                        or self.pos[slot] >= self.S - 1):
+                    self.done[req.rid] = np.concatenate(
+                        [req.prompt, np.asarray(req.generated,
+                                                dtype=np.int32)])
+                    self.active[slot] = False
+                    self.slot_req[slot] = None
         return emitted
