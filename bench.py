@@ -88,7 +88,7 @@ def main():
     params = random_quantized_model(
         cfg, codebook=args.codebook, seed=0, dtype=jnp.bfloat16,
         quantize_head=not args.dense_head and not args.small)
-    params = M.fuse_for_inference(cfg, params)
+    params = M.fuse_for_inference(cfg, params, release_originals=True)
     print(f"# built random {name} {args.codebook} params (qkv/gateup "
           f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)
 

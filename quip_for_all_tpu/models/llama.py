@@ -344,7 +344,8 @@ def cache_mask(positions: jax.Array, T: int, dtype=jnp.float32) -> jax.Array:
 
 # --------------------------------------------------------------- fusion
 
-def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
+def fuse_for_inference(cfg: ModelConfig, params: Params,
+                       release_originals: bool = False) -> Params:
     """Fuse qkv and gate/up QuantLinears that share left transforms into
     single-launch FusedQuantLinear entries (decode-path optimization;
     produced by QuipQuantizer.share_group_transforms)."""
@@ -367,14 +368,16 @@ def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
         return True
 
     out_layers = []
-    for blk in params["layers"]:
-        blk = dict(blk)
+    for src in params["layers"]:
+        blk = dict(src)
         attn = dict(blk["self_attn"])
         trio = [attn.get("q_proj"), attn.get("k_proj"), attn.get("v_proj")]
         if sharable(trio):
             attn["qkv_proj"] = fuse_qlinears(trio)
             for k in ("q_proj", "k_proj", "v_proj"):
                 del attn[k]
+                if release_originals:
+                    src["self_attn"].pop(k, None)
         blk["self_attn"] = attn
         if cfg.arch != "mixtral" and "mlp" in blk:
             mlp = dict(blk["mlp"])
@@ -382,6 +385,9 @@ def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
             if sharable(duo):
                 mlp["gateup_proj"] = fuse_qlinears(duo)
                 del mlp["gate_proj"], mlp["up_proj"]
+                if release_originals:
+                    src["mlp"].pop("gate_proj", None)
+                    src["mlp"].pop("up_proj", None)
             blk["mlp"] = mlp
         if cfg.arch == "mixtral" and "block_sparse_moe" in blk:
             from ..nn.qmoe import stack_experts
@@ -391,6 +397,11 @@ def fuse_for_inference(cfg: ModelConfig, params: Params) -> Params:
                 moe["experts_stacked"] = stacked
                 del moe["experts"]
                 blk["block_sparse_moe"] = moe
+                if release_originals:
+                    # drop the per-expert originals NOW: a stacked Mixtral
+                    # otherwise exists twice until the caller rebinds
+                    # (8x7B planes alone are ~11GB — guaranteed HBM OOM)
+                    src["block_sparse_moe"].pop("experts", None)
         out_layers.append(blk)
     out = dict(params)
     out["layers"] = out_layers

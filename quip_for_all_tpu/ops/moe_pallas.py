@@ -60,7 +60,7 @@ def _make_moe_kernel(affine, G: int, out_dtype):
         del eids_ref  # consumed by the index_maps only
         o_ref = refs[-1]
         w_refs = refs[:-1]
-        x = x_ref[...].astype(jnp.float32)            # (1, 8G)
+        x = x_ref[0].astype(jnp.float32)              # (1, 8G)
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
             w = pltpu.bitcast(w_ref[0], jnp.int32)    # (TN, G)
@@ -74,7 +74,7 @@ def _make_moe_kernel(affine, G: int, out_dtype):
             acc = acc * alpha
             out = acc if out is None else out + acc
         xs = jnp.sum(x, axis=1, keepdims=True)
-        o_ref[...] = (out + beta_total * xs).astype(out_dtype)
+        o_ref[0] = (out + beta_total * xs).astype(out_dtype)
 
     return kernel
 
@@ -93,20 +93,25 @@ def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str):
                      memory_space=pltpu.VMEM)
         for _ in planes_tuple
     ]
+    # x/out ride a (R, 1, N) 3-D layout: Mosaic constrains only the LAST
+    # TWO block dims (divisible by (8, 128) or equal to the array dims), so
+    # the per-row blocks become (1, 1=array, full-lane) — a plain (1, N)
+    # block on a (R, N) array is rejected on real hardware (sublane dim 1).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R, q_out // TN),
-        in_specs=[pl.BlockSpec((1, 8 * Gp), lambda r, t, eids: (r, 0),
+        in_specs=[pl.BlockSpec((1, 1, 8 * Gp), lambda r, t, eids: (r, 0, 0),
                                memory_space=pltpu.VMEM)] + plane_specs,
-        out_specs=pl.BlockSpec((1, TN), lambda r, t, eids: (r, t),
+        out_specs=pl.BlockSpec((1, 1, TN), lambda r, t, eids: (r, 0, t),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, q_out), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((R, 1, q_out), out_dtype),
         interpret=_INTERPRET,
-    )(eids.astype(jnp.int32), x_perm, *planes_tuple)
+    )(eids.astype(jnp.int32), x_perm.reshape(R, 1, 8 * Gp), *planes_tuple)
+    return out.reshape(R, q_out)
 
 
 def moe_fused_matmul(x_perm: jax.Array, eids: jax.Array, planes: dict,

@@ -126,14 +126,22 @@ def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",
             },
         }
         if cfg.arch == "mixtral":
+            # w1/w3 share the expert's left transform (the quantizer's
+            # share_group_transforms guarantee) — required for expert
+            # stacking / the sparse MoE decode path
+            experts = []
+            for _ in range(cfg.num_local_experts):
+                espec = get_hadK(D, use_rand=use_rand, rng=rng)
+                esu = np.sign(rng.standard_normal(D)).astype(np.float32)
+                experts.append(
+                    {"w1": q(D, I, espec, esu) if quantize_experts
+                     else dense(I, D),
+                     "w3": q(D, I, espec, esu) if quantize_experts
+                     else dense(I, D),
+                     "w2": q(I, D) if quantize_experts else dense(D, I)})
             blk["block_sparse_moe"] = {
                 "gate": dense(cfg.num_local_experts, D),
-                "experts": [
-                    {"w1": q(D, I) if quantize_experts else dense(I, D),
-                     "w3": q(D, I) if quantize_experts else dense(I, D),
-                     "w2": q(I, D) if quantize_experts else dense(D, I)}
-                    for _ in range(cfg.num_local_experts)
-                ],
+                "experts": experts,
             }
         else:
             blk["mlp"] = {"gate_proj": q(D, I, mlp_spec, mlp_su),

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--cache-len", type=int, default=2048)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace2")
     ap.add_argument("--buckets", type=int, default=40)
+    ap.add_argument("--model", default="llama",
+                    choices=["llama", "mixtral"])
     ap.add_argument("--start-pos", type=int, default=16,
                     help="first decode position (picks the attention bucket)")
     ap.add_argument("--scan", type=int, default=0,
@@ -47,11 +49,20 @@ def main():
     from quip_for_all_tpu.utils.random_quantized import \
         random_quantized_model
 
-    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                      intermediate_size=11008,
-                      num_hidden_layers=args.layers,
-                      num_attention_heads=32, num_key_value_heads=32,
-                      max_position_embeddings=4096)
+    if args.model == "mixtral":
+        cfg = ModelConfig(arch="mixtral", vocab_size=32000,
+                          hidden_size=4096, intermediate_size=14336,
+                          num_hidden_layers=args.layers,
+                          num_attention_heads=32, num_key_value_heads=8,
+                          num_local_experts=8, num_experts_per_tok=2,
+                          rope_theta=1e6,
+                          max_position_embeddings=4096)
+    else:
+        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                          intermediate_size=11008,
+                          num_hidden_layers=args.layers,
+                          num_attention_heads=32, num_key_value_heads=32,
+                          max_position_embeddings=4096)
     t0 = time.time()
     params = random_quantized_model(cfg, codebook="E8P12", seed=0,
                                     dtype=jnp.bfloat16,
