@@ -43,20 +43,43 @@ def sdpa_cache_layout(q: jax.Array, k: jax.Array, v: jax.Array,
 
     attn_window (static): the caller guarantees every query position is
     < attn_window, so only that cache prefix is read — a full static
-    cache otherwise costs the whole cache_len read every decode token."""
+    cache otherwise costs the whole cache_len read every decode token.
+
+    GQA (k/v have KV < H heads, KV | H): the query heads are GROUPED over
+    their kv head and the dots batch over the KV axis directly — never
+    jnp.repeat the cache (a repeat materializes an H/KV× copy of the
+    multi-MB window every decode step). Query head h uses kv head
+    h // (H//KV), the HF grouping."""
     import numpy as np
     if attn_window is not None and attn_window < k.shape[1]:
         k = k[:, :attn_window]
         v = v[:, :attn_window]
         attn_mask = attn_mask[..., :attn_window]
     B, S, H, hd = q.shape
-    qt = q.transpose(0, 2, 1, 3)                   # (B, H, S, hd)
+    KV = k.shape[2]
+    T = k.shape[1]
+    if KV == H:
+        qt = q.transpose(0, 2, 1, 3)               # (B, H, S, hd)
+        scores = jax.lax.dot_general(
+            qt, k, (((3,), (3,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        scores = scores + attn_mask                # (B, H, S, T)
+        probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+        ctx = jax.lax.dot_general(
+            probs, v, (((3,), (1,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.float32).astype(out_dtype)
+        return ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    rep = H // KV
+    qg = (q.reshape(B, S, KV, rep, hd).transpose(0, 2, 3, 1, 4)
+          .reshape(B, KV, rep * S, hd))
     scores = jax.lax.dot_general(
-        qt, k, (((3,), (3,)), ((0, 1), (0, 2))),
+        qg, k, (((3,), (3,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32) / np.sqrt(hd)
-    scores = scores + attn_mask                    # (B, H, S, T)
-    probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+    scores = scores.reshape(B, KV, rep, S, T) + attn_mask[:, :, None]
+    probs = (jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+             .reshape(B, KV, rep * S, T))
     ctx = jax.lax.dot_general(
         probs, v, (((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32).astype(out_dtype)
-    return ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+    return (ctx.reshape(B, KV, rep, S, hd).transpose(0, 3, 1, 2, 4)
+            .reshape(B, S, H * hd))

@@ -60,9 +60,9 @@ def attention(cfg: ModelConfig, attn_p: Params, x, cos, sin, kv_cache,
 
     k, v, new_cache = update_kv_cache(kv_cache, k, v, cache_position)
 
-    if KV != H:
-        k = jnp.repeat(k, H // KV, axis=2)
-        v = jnp.repeat(v, H // KV, axis=2)
+    # GQA/MQA grouping happens inside sdpa_cache_layout (never repeat the
+    # cache: at KV=1 multi-query that would materialize an H× copy of the
+    # whole window every decode step)
     ctx = sdpa_cache_layout(q, k, v, attn_mask, x.dtype,
                             attn_window=attn_window)
     if captures is not None:

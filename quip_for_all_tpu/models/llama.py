@@ -129,27 +129,11 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
         new_cache = None
 
     def _sdpa(k, v, attn_mask):
-        # k/v stay in cache layout (B, T, KV, hd) throughout — the dots
-        # batch over the head axis in place (rhs batch dim 2), so the
-        # multi-MB cache prefix is never transposed/copied; only the tiny
-        # q/scores/ctx tensors (S rows) get relayouts.
-        kk, vv = k, v
-        if KV != H:  # GQA: repeat kv heads
-            rep = H // KV
-            kk = jnp.repeat(kk, rep, axis=2)
-            vv = jnp.repeat(vv, rep, axis=2)
-        qt = q.transpose(0, 2, 1, 3)                   # (B, H, S, hd)
-        # scores[b,h,s,t] = Σ_d qt[b,h,s,d]·kk[b,t,h,d]
-        scores = jax.lax.dot_general(
-            qt, kk, (((3,), (3,)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        scores = scores + attn_mask                    # (B, H, S, T)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        # ctx[b,h,s,d] = Σ_t probs[b,h,s,t]·vv[b,t,h,d]
-        ctx = jax.lax.dot_general(
-            probs, vv, (((3,), (1,)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.float32).astype(x.dtype)
-        return ctx.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+        # k/v stay in cache layout (B, T, KV, hd) throughout; GQA batches
+        # the dots over the KV head axis instead of repeating the cache
+        # (see models/common.py sdpa_cache_layout).
+        from .common import sdpa_cache_layout
+        return sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
 
     T = k.shape[1]
     if kv_cache is not None and attn_window is not None:
