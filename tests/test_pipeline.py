@@ -73,3 +73,19 @@ def test_pipeline_jits_once():
     out = np.asarray(fn(params, ids))
     np.testing.assert_allclose(out, _logits_ref(cfg, params, ids),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_quantized_head():
+    """pipeline_logits with a QUANTIZED untied lm_head must use it
+    (regression: registry.untied_head_key returned None for
+    QuantLinearParams and the head silently fell back to the tied
+    embedding)."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = random_quantized_model(cfg, codebook="E8P12", seed=0,
+                                    dtype=jnp.float32, quantize_head=True)
+    mesh = make_pp_mesh(2)
+    B, S = 2, 8
+    ids = jnp.asarray(np.arange(B * S).reshape(B, S) % cfg.vocab_size)
+    ref = _logits_ref(cfg, params, ids)
+    out = np.asarray(pipeline_logits(cfg, params, ids, mesh, 2))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
