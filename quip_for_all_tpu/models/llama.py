@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn import qlinear
+from .common import sdpa_cache_layout
 from ..nn.qlinear import QuantLinearParams
 from .config import ModelConfig
 
@@ -132,7 +133,6 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
         # k/v stay in cache layout (B, T, KV, hd) throughout; GQA batches
         # the dots over the KV head axis instead of repeating the cache
         # (see models/common.py sdpa_cache_layout).
-        from .common import sdpa_cache_layout
         return sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
 
     T = k.shape[1]

@@ -50,13 +50,11 @@ def main():
         random_quantized_model
 
     if args.model == "mixtral":
-        cfg = ModelConfig(arch="mixtral", vocab_size=32000,
-                          hidden_size=4096, intermediate_size=14336,
-                          num_hidden_layers=args.layers,
-                          num_attention_heads=32, num_key_value_heads=8,
-                          num_local_experts=8, num_experts_per_tok=2,
-                          rope_theta=1e6,
-                          max_position_embeddings=4096)
+        import dataclasses
+        from quip_for_all_tpu.models.config import mixtral_8x7b_config
+        cfg = dataclasses.replace(mixtral_8x7b_config(),
+                                  num_hidden_layers=args.layers,
+                                  max_position_embeddings=4096)
     else:
         cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
                           intermediate_size=11008,
