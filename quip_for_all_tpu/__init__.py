@@ -15,7 +15,8 @@ from .models import llama
 from .models.config import ModelConfig
 from .nn.qlinear import QuantLinearParams
 from .quantize.quantizer import QuipQuantizer
-from .runtime.generate import generate, perplexity
+from .runtime.generate import (generate, generate_stream,
+                               perplexity)
 from .utils.checkpoint import load_quantized, save_quantized
 
 # reference-parity alias
@@ -25,6 +26,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ModelConfig", "QuantLinearParams", "QuipQuantizer", "codebook_id",
-    "generate", "get_codebook", "llama", "load_quantized",
+    "generate", "generate_stream", "get_codebook", "llama",
+    "load_quantized",
     "load_quantized_model", "perplexity", "save_quantized", "__version__",
 ]
