@@ -271,8 +271,16 @@ def stacked_rows_apply(sq: StackedQuantLinear, x: jax.Array,
     x_perm = x_perm.reshape(R, 8 * Gp).astype(compute_dtype)
     from ..ops.moe_pallas import moe_fused_matmul, supports_moe
     if supports_moe(sq.planes, sq.q_out_total):
-        out = moe_fused_matmul(x_perm, eids, sq.planes, sq.codebook_id,
-                               sq.opt_resid_scale, sq.q_out_total)
+        # sort rows by expert id: the kernel iterates rows innermost, so
+        # consecutive same-expert rows reuse the resident plane block —
+        # per weight tile the planes stream once per DISTINCT expert
+        # (matters for batched decode; R is tiny so the sort is free)
+        order = jnp.argsort(eids)
+        out_sorted = moe_fused_matmul(
+            jnp.take(x_perm, order, axis=0), jnp.take(eids, order),
+            sq.planes, sq.codebook_id, sq.opt_resid_scale, sq.q_out_total)
+        inv = jnp.argsort(order)
+        out = jnp.take(out_sorted, inv, axis=0)
     else:
         out = _decode_rows_matmul(sq, x_perm, eids)
     out = out.astype(dt) * jnp.take(sq.pre_vec, eids, axis=0).astype(dt)

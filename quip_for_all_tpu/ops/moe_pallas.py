@@ -89,7 +89,7 @@ def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str):
     kernel = _make_moe_kernel(affine, Gp, out_dtype)
 
     plane_specs = [
-        pl.BlockSpec((1, TN, Gp), lambda r, t, eids: (eids[r], t, 0),
+        pl.BlockSpec((1, TN, Gp), lambda t, r, eids: (eids[r], t, 0),
                      memory_space=pltpu.VMEM)
         for _ in planes_tuple
     ]
@@ -97,12 +97,16 @@ def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str):
     # TWO block dims (divisible by (8, 128) or equal to the array dims), so
     # the per-row blocks become (1, 1=array, full-lane) — a plain (1, N)
     # block on a (R, N) array is rejected on real hardware (sublane dim 1).
+    # Grid order: tiles OUTER, rows INNER — callers sort rows by expert id
+    # (stacked_rows_apply), so consecutive grid steps with equal eids map
+    # to the SAME plane block and the DMA is skipped: per weight tile the
+    # planes stream once per DISTINCT expert, not once per row.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(R, q_out // TN),
-        in_specs=[pl.BlockSpec((1, 1, 8 * Gp), lambda r, t, eids: (r, 0, 0),
+        grid=(q_out // TN, R),
+        in_specs=[pl.BlockSpec((1, 1, 8 * Gp), lambda t, r, eids: (r, 0, 0),
                                memory_space=pltpu.VMEM)] + plane_specs,
-        out_specs=pl.BlockSpec((1, 1, TN), lambda r, t, eids: (r, 0, t),
+        out_specs=pl.BlockSpec((1, 1, TN), lambda t, r, eids: (r, 0, t),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
