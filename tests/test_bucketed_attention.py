@@ -121,3 +121,27 @@ def test_static_window_all_families():
             np.testing.assert_allclose(np.asarray(lt[0, 0]),
                                        np.asarray(full_logits[0, t]),
                                        rtol=6e-3, atol=6e-3, err_msg=arch)
+
+
+def test_grouped_gqa_matches_explicit_repeat():
+    """The repeat-free grouped GQA in sdpa_cache_layout must equal the
+    naive formulation that materializes repeated kv heads, for several
+    (H, KV) shapes including multi-query."""
+    from quip_for_all_tpu.models.common import sdpa_cache_layout
+
+    rng = np.random.default_rng(0)
+    for H, KV, S, T in ((8, 2, 1, 64), (8, 1, 1, 32), (4, 4, 5, 16),
+                        (6, 3, 2, 40)):
+        B, hd = 2, 16
+        q = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, T, KV, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, T, KV, hd)), jnp.float32)
+        mask = jnp.asarray(
+            np.where(rng.standard_normal((B, 1, S, T)) > 0.5, -1e9, 0.0),
+            jnp.float32)
+        got = np.asarray(sdpa_cache_layout(q, k, v, mask, jnp.float32))
+        kr = jnp.repeat(k, H // KV, axis=2)
+        vr = jnp.repeat(v, H // KV, axis=2)
+        ref = np.asarray(sdpa_cache_layout(q, kr, vr, mask, jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"H={H} KV={KV}")

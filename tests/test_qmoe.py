@@ -169,3 +169,20 @@ def test_expert_parallel_mesh(qmix, rng):
     ref = M.moe_apply(cfg, moe, x, {"compute_dtype": jnp.float32}, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stacked_rows_apply_batched_duplicate_experts(qmix, rng):
+    """R=16 rows with heavy expert duplication (the batched-serving shape
+    the expert-sorted grid optimizes) must match per-row evaluation."""
+    cfg, params = qmix
+    moe = dict(params["layers"][0]["block_sparse_moe"])
+    sq = qmoe.stack_experts(moe)["w13"]
+    R = 16
+    x = jnp.asarray(rng.standard_normal((R, sq.in_features)), jnp.float32)
+    eids = jnp.asarray(rng.integers(0, sq.E, size=R), jnp.int32)
+    out = np.asarray(qmoe.stacked_rows_apply(sq, x, eids,
+                                             compute_dtype=jnp.float32))
+    for r in range(R):
+        ref = np.asarray(qmoe.stacked_rows_apply(
+            sq, x[r:r + 1], eids[r:r + 1], compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out[r], ref[0], rtol=2e-4, atol=2e-4)
