@@ -148,3 +148,35 @@ def test_serving_prompt_too_long_raises():
     eng.add_request(np.arange(1, 18, dtype=np.int32), max_new_tokens=2)
     with pytest.raises(ValueError):
         eng.run(max_steps=10)
+
+
+def test_serving_mixtral_sparse_moe():
+    """Continuous batching over a stacked-expert Mixtral: chunked decode
+    through the sparse MoE path, request results match single-stream
+    generate()."""
+    from quip_for_all_tpu.models import llama as M
+    from quip_for_all_tpu.models.config import ModelConfig
+    from quip_for_all_tpu.runtime.generate import generate
+    from quip_for_all_tpu.utils.random_quantized import \
+        random_quantized_model
+
+    cfg = ModelConfig(arch="mixtral", vocab_size=256, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      num_local_experts=4, num_experts_per_tok=2,
+                      max_position_embeddings=256)
+    params = random_quantized_model(cfg, codebook="E8P12", seed=0,
+                                    dtype=jnp.float32)
+    params = M.fuse_for_inference(cfg, params)
+    assert "experts_stacked" in params["layers"][0]["block_sparse_moe"]
+
+    prompts = [np.arange(9, dtype=np.int32) % cfg.vocab_size,
+               (np.arange(14, dtype=np.int32) * 3) % cfg.vocab_size]
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=128,
+                        dtype=jnp.float32, prefill_chunk=8, decode_chunk=4)
+    rids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        ref = np.asarray(generate(cfg, params, jnp.asarray(p)[None], 6,
+                                  cache_len=128, dtype_str="float32"))[0]
+        np.testing.assert_array_equal(results[rid], ref)
