@@ -506,7 +506,9 @@ class QuipQuantizer:
             layer_inputs = outputs
 
         head_key = R.untied_head_key(cfg, params)
+        float_head = None     # teacher head for the e2e ft (pre-quantized)
         if self.quantize_lm_head and head_key is not None:
+            float_head = params[head_key]
             hst = hessian.HessianState.zeros(cfg.hidden_size)
             norm_fn = jax.jit(
                 lambda x: R.final_hidden(cfg, params, jnp.asarray(x)))
@@ -525,22 +527,29 @@ class QuipQuantizer:
 
         if self.ft_epochs > 0:
             params = self._finetune_end2end(cfg, params, batches,
-                                            layer_inputs, n_hess, n_valid)
+                                            layer_inputs, n_hess, n_valid,
+                                            float_head=float_head)
         return params
 
     def _finetune_end2end(self, cfg, params, batches, last_outputs,
-                          n_hess, n_valid):
+                          n_hess, n_valid, float_head=None):
         """End-to-end CE finetune against the float model's output
-        distributions (parity: quantizer.py:597-702)."""
+        distributions (parity: quantizer.py:597-702). When the lm_head was
+        quantized, ``float_head`` is its pre-quantization snapshot — the
+        TEACHER must project with the float head, not the student's."""
         import optax
         from . import finetune as FT
 
         from ..models import registry as R
+        from ..models.llama import linear_apply
 
         @jax.jit
         def head_probs(x):
             h = R.final_hidden(cfg, params, jnp.asarray(x))
-            logits = R.head_logits(cfg, params, h)
+            if float_head is not None:
+                logits = linear_apply(float_head, h)
+            else:
+                logits = R.head_logits(cfg, params, h)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         ft_ids = batches[n_hess:]
