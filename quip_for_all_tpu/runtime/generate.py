@@ -58,6 +58,9 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
     """prompt_ids (B, S) -> (B, S + max_new_tokens) generated ids."""
     dtype = np.dtype(dtype_str)
     B, S = prompt_ids.shape
+    assert S + max_new_tokens <= cache_len, (
+        f"prompt ({S}) + max_new_tokens ({max_new_tokens}) exceeds "
+        f"cache_len ({cache_len}) — writes would silently clamp")
     if key is None:
         key = jax.random.PRNGKey(0)
     caches = init_kv_caches(cfg, B, cache_len, dtype)
@@ -131,6 +134,9 @@ def generate_stream(cfg: ModelConfig, params: Dict[str, Any],
     reused across chunks."""
     dtype = np.dtype(dtype_str)
     B, S = prompt_ids.shape
+    assert S + max_new_tokens <= cache_len, (
+        f"prompt ({S}) + max_new_tokens ({max_new_tokens}) exceeds "
+        f"cache_len ({cache_len}) — writes would silently clamp")
     if key is None:
         key = jax.random.PRNGKey(0)
     A = get_arch(cfg)
