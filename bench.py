@@ -9,10 +9,20 @@ static cache + torch.compile; /root/reference/README.md:73, BASELINE.md).
 Runs on whatever backend is active (the real TPU chip under the driver;
 pass --cpu --small for a smoke run). Weights are random codes — identical
 compute/memory behavior to a real checkpoint (zero-egress environment).
+
+Resilience: the TPU chip is reached through a relay that can be
+transiently unavailable or wedged. A top-level supervisor therefore runs
+the actual measurement in a fresh subprocess per attempt (JAX caches a
+failed backend init for the life of the process, so in-process retry is
+useless), waits for the relay listener with backoff between attempts, and
+exits nonzero only after the whole retry budget is exhausted — emitting a
+diagnostics JSON line in that case. `--cpu` runs skip the supervisor.
 """
 import argparse
 import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -22,9 +32,163 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TOKENS_PER_SEC = 138.0  # reference README.md:73
 
+# Loopback ports the TPU relay daemon listens on (first of them is enough
+# to establish liveness; see /root/.tpu_init.py PORTS).
+RELAY_PORTS = (8082, 8083, 8087)
+
+# Substrings that mark a transient backend/relay failure worth retrying.
+TRANSIENT_MARKERS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection refused",
+    "Connection reset",
+    "Socket closed",
+    "failed to connect",
+    "Broken pipe",
+)
+
+
+def _relay_listening() -> bool:
+    """True if the TPU relay daemon has a listener on any known port.
+
+    Pure loopback TCP connect — never touches the TPU claim protocol, so
+    it is always safe to poll (unlike jax.devices() probes, which can
+    leave half-open claims if they hang and get killed).
+    """
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+def _classify(output: str) -> str:
+    for marker in TRANSIENT_MARKERS:
+        if marker in output:
+            return f"transient: {marker}"
+    return "nontransient"
+
+
+def supervise(argv) -> int:
+    """Retry-with-backoff wrapper around one measurement subprocess.
+
+    Never returns nonzero while retry budget (attempts AND wall-clock)
+    remains. On success, re-prints the child's JSON result line on stdout.
+    On final failure, prints a diagnostics JSON line and returns 1.
+    """
+    max_attempts = int(os.environ.get("QFA_BENCH_MAX_ATTEMPTS", "8"))
+    budget_s = float(os.environ.get("QFA_BENCH_BUDGET_S", "4200"))
+    attempt_timeout_s = float(
+        os.environ.get("QFA_BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+    relay_wait_s = float(os.environ.get("QFA_BENCH_RELAY_WAIT_S", "900"))
+    relay_poll_s = float(os.environ.get("QFA_BENCH_RELAY_POLL_S", "20"))
+    # escalating sleeps between failed attempts (relay wedge recovery is
+    # typically 10-30 min of zero contact)
+    backoffs = [float(x) for x in os.environ.get(
+        "QFA_BENCH_BACKOFF_S", "60,120,240,480,600,600,600").split(",")]
+    child_cmd = os.environ.get("QFA_BENCH_CHILD_CMD")  # test hook
+
+    start = time.time()
+
+    def remaining():
+        return budget_s - (time.time() - start)
+
+    errors = []
+    for attempt in range(1, max_attempts + 1):
+        if remaining() <= 0:
+            break
+        # Wait for the relay daemon to be up (cheap loopback probe). If it
+        # never shows, still burn one real attempt near the end of the
+        # budget in case the relay design changed under us.
+        if child_cmd is None and not _relay_listening():
+            waited = 0.0
+            cap = min(relay_wait_s, max(0.0, remaining() - 120.0))
+            while waited < cap and not _relay_listening():
+                time.sleep(relay_poll_s)
+                waited += relay_poll_s
+            if not _relay_listening():
+                print(f"# attempt {attempt}: relay not listening after "
+                      f"{waited:.0f}s wait", file=sys.stderr)
+                errors.append("relay not listening")
+                if remaining() > 300 and attempt < max_attempts:
+                    continue
+                # fall through: attempt anyway as a last resort
+        if child_cmd is not None:
+            cmd = [child_cmd]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--_child"] + argv
+        print(f"# bench attempt {attempt}/{max_attempts} "
+              f"({remaining():.0f}s budget left)", file=sys.stderr)
+        timed_out = False
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=min(attempt_timeout_s, max(120.0, remaining())))
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or "")
+            rc, timed_out = -1, True
+        # re-emit child stderr (progress lines, tracebacks) for the log
+        if err:
+            sys.stderr.write(err if len(err) < 8000 else
+                             err[:2000] + "\n...[truncated]...\n" + err[-6000:])
+        if rc == 0:
+            for line in reversed(out.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(parsed, dict) and "metric" in parsed:
+                    print(line)
+                    return 0
+            errors.append("rc=0 but no JSON result line")
+        elif timed_out:
+            # a killed TPU client can wedge the relay for 10-30 min: take
+            # a long mandatory rest before touching the chip again
+            errors.append(f"attempt timed out after {attempt_timeout_s:.0f}s "
+                          "(possible relay wedge)")
+            print("# attempt timed out — resting 900s before any further "
+                  "TPU contact (wedge recovery)", file=sys.stderr)
+            if remaining() > 960 and attempt < max_attempts:
+                time.sleep(900)
+            continue
+        else:
+            kind = _classify(out + err)
+            tail = (out + err).strip().splitlines()
+            errors.append(f"rc={rc} {kind}: {tail[-1][:200] if tail else ''}")
+        if attempt < max_attempts and remaining() > 0:
+            delay = backoffs[min(attempt - 1, len(backoffs) - 1)]
+            delay = min(delay, max(0.0, remaining() - 60.0))
+            if delay > 0:
+                print(f"# backing off {delay:.0f}s before retry",
+                      file=sys.stderr)
+                time.sleep(delay)
+
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_llama2_7b_e8p12_bs1",
+        "value": None,
+        "unit": "tokens/s",
+        "error": "all bench attempts failed",
+        "attempts": len(errors),
+        "attempt_errors": errors[-8:],
+        "elapsed_s": round(time.time() - start, 1),
+    }))
+    return 1
+
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--_child", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: run measurement
+    ap.add_argument("--no-retry", action="store_true",
+                    help="run the measurement in-process (no supervisor)")
     ap.add_argument("--codebook", default="E8P12")
     ap.add_argument("--model", default="llama2_7b",
                     choices=["llama2_7b", "mixtral"],
@@ -46,6 +210,11 @@ def main():
                     help="keep lm_head dense bf16 (default: quantized, "
                     "the framework's serving config — saves ~0.2 ms/token)")
     args = ap.parse_args()
+
+    if not (args._child or args.no_retry or args.cpu):
+        argv = [a for a in sys.argv[1:] if a not in ("--_child",
+                                                     "--no-retry")]
+        sys.exit(supervise(argv))
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
