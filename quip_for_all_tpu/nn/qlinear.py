@@ -13,8 +13,8 @@ to SU/SV only (``qlinear.py:93-97`` + ``calc_weight``).
 
 Conventions (fixed at pack/load time, mirroring the reference's
 load-time fixups at ``quantizer.py:836-844``):
-  - ``wscale_float``: static python float = mean(Wscale), fused into the
-    left transform's scale.
+  - ``wscale_float``: scalar = mean(Wscale) (dynamic pytree leaf), fused
+    into the left transform's scale.
   - ``Wscale``: per-channel only, ALREADY normalized by its mean; None/()
     scalar handling is collapsed into wscale_float otherwise.
 """
@@ -101,8 +101,11 @@ class QuantLinearParams:
     q_out: int = dataclasses.field(metadata=dict(static=True))
     per_channel: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
-    wscale_float: float = dataclasses.field(
-        default=1.0, metadata=dict(static=True))
+    # dynamic leaf (not static): layers differ in wscale, and a static
+    # float would make really-quantized blocks unstackable for the GPipe
+    # pipeline (parallel/pipeline.py stack_blocks) and would key a
+    # recompile per distinct value
+    wscale_float: float = 1.0
     # block-diagonal transform shard counts (tensor-parallel checkpoints;
     # see transforms/incoherence.py HadSpec.shards)
     shards_left: int = dataclasses.field(

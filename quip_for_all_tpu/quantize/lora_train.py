@@ -134,6 +134,78 @@ def save_lora(params: Dict[str, Any], save_dir: str,
                    "targets": list(targets)}, f, indent=2)
 
 
+PEFT_ADAPTER_FILE = "adapter_model.safetensors"
+PEFT_ADAPTER_CONFIG = "adapter_config.json"
+# PEFT key layout for a causal LM: LoraModel wraps the HF model as
+# `base_model.model`, whose decoder stack lives under `model.layers`
+# (reference flow: /root/reference/example_finetune.py:22-34 trains
+# standard PEFT adapters on the quantized model)
+_PEFT_PREFIX = "base_model.model.model."
+
+
+def export_peft(params: Dict[str, Any], save_dir: str, rank: int,
+                alpha: float, targets=DEFAULT_TARGETS,
+                base_model_name_or_path: str = "") -> None:
+    """Write the trained adapters in standard PEFT layout
+    (adapter_model.safetensors + adapter_config.json) so they load into
+    the reference stack — and any other PEFT consumer — unchanged.
+    Tensor conventions already agree: lora_A (r, in), lora_B (out, r),
+    scaling = alpha / r."""
+    from safetensors.numpy import save_file
+
+    flat = collect_lora_trainable(params["layers"], "layers")
+    tensors = {_PEFT_PREFIX + k + ".weight": np.asarray(v, np.float32)
+               for k, v in flat.items()}
+    os.makedirs(save_dir, exist_ok=True)
+    save_file(tensors, os.path.join(save_dir, PEFT_ADAPTER_FILE))
+    with open(os.path.join(save_dir, PEFT_ADAPTER_CONFIG), "w") as f:
+        json.dump({
+            "peft_type": "LORA",
+            "task_type": "CAUSAL_LM",
+            "r": rank,
+            "lora_alpha": alpha,
+            "lora_dropout": 0.0,
+            "target_modules": sorted(set(targets)),
+            "base_model_name_or_path": base_model_name_or_path,
+            "bias": "none",
+            "fan_in_fan_out": False,
+            "inference_mode": True,
+        }, f, indent=2)
+
+
+def import_peft(params: Dict[str, Any], peft_dir: str) -> Dict[str, Any]:
+    """Attach adapters from a standard PEFT directory (as produced by the
+    reference's example_finetune.py, or by export_peft) to a freshly
+    loaded base model's params."""
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(peft_dir, PEFT_ADAPTER_CONFIG)) as f:
+        acfg = json.load(f)
+    if acfg.get("peft_type", "LORA").upper() != "LORA":
+        raise ValueError(f"not a LoRA adapter: {acfg.get('peft_type')}")
+    params = add_lora(params, rank=acfg["r"], alpha=acfg["lora_alpha"],
+                      targets=tuple(acfg["target_modules"]))
+    raw = load_file(os.path.join(peft_dir, PEFT_ADAPTER_FILE))
+    flat = {}
+    for k, v in raw.items():
+        key = k
+        for pre in (_PEFT_PREFIX, "base_model.model."):
+            if key.startswith(pre):
+                key = key[len(pre):]
+                break
+        if key.endswith(".weight"):
+            key = key[: -len(".weight")]
+        flat[key] = jnp.asarray(v)
+    have = collect_lora_trainable(params["layers"], "layers")
+    missing = set(have) - set(flat)
+    if missing:
+        raise ValueError(
+            f"PEFT adapter missing keys: {sorted(missing)[:4]}")
+    params["layers"] = apply_lora_trainable(params["layers"], flat,
+                                            "layers")
+    return params
+
+
 def load_lora(params: Dict[str, Any], save_dir: str) -> Dict[str, Any]:
     """Attach saved adapters to a freshly loaded base model's params."""
     from safetensors.numpy import load_file

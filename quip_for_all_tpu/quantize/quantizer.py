@@ -174,6 +174,13 @@ class QuipQuantizer:
     ft_batch_size: int = 8
     ft_valid_freq: int = 1
     ft_early_stop: int = 3
+    # end-to-end CE finetune over a pp-stage pipeline mesh when the model
+    # exceeds one chip (the reference pipelines e2e ft across GPUs via
+    # accelerate device_map — quantizer.py:626-638; here it is a real
+    # GPipe microbatch pipeline, parallel/pipeline.py). 1 = single device.
+    ft_pp: int = 1
+    # microbatches for the pipelined ft step; 0 = one per sample
+    ft_microbatches: int = 0
     # TPU-native: tensor-parallel-ready block-diagonal transforms
     tp_shards: int = 1
     # TPU-native: share SU + left transform across layers fed by the same
@@ -564,12 +571,29 @@ class QuipQuantizer:
         from ..models.registry import get_arch
         ARCH = get_arch(cfg)
 
+        mesh = None
+        if self.ft_pp > 1:
+            from ..parallel.pipeline import make_pp_mesh, pipeline_logits
+            if cfg.num_hidden_layers % self.ft_pp:
+                raise ValueError(
+                    f"ft_pp={self.ft_pp} must divide num_hidden_layers="
+                    f"{cfg.num_hidden_layers}")
+            mesh = make_pp_mesh(self.ft_pp)
+            n_micro = self.ft_microbatches or self.ft_batch_size
+            logger.info("end2end ft pipelined over %d stages, %d "
+                        "microbatches", self.ft_pp, n_micro)
+
         def loss_fn(flat, ids, tgt):
             layers = FT.apply_trainable(params["layers"], flat)
             p2 = dict(params)
             p2["layers"] = layers
-            logits, _ = ARCH.model_apply(cfg, p2, ids,
-                                         linear_kw={"training": True})
+            if mesh is not None:
+                logits = pipeline_logits(
+                    cfg, p2, ids, mesh, n_microbatches=n_micro,
+                    linear_kw={"training": True})
+            else:
+                logits, _ = ARCH.model_apply(cfg, p2, ids,
+                                             linear_kw={"training": True})
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return -(tgt * logp).sum(-1).mean()
 
@@ -587,7 +611,8 @@ class QuipQuantizer:
             return float(np.mean([eval_loss(flat, a, jnp.asarray(b))
                                   for a, b in zip(va_ids, va_tg)]))
 
-        best, best_flat, worse = vloss(flat), flat, 0
+        initial = vloss(flat)
+        best, best_flat, worse = initial, flat, 0
         logger.info("end2end initial loss %.5f", best)
         for ep in range(self.ft_epochs):
             for a, b in zip(tr_ids, tr_tg):
@@ -601,5 +626,7 @@ class QuipQuantizer:
                 worse += 1
                 if worse >= self.ft_early_stop:
                     break
+        # observability hook (tests + progress reporting)
+        self.e2e_ft_stats_ = {"initial": initial, "best": best}
         params["layers"] = FT.apply_trainable(params["layers"], best_flat)
         return params

@@ -330,8 +330,11 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     """Load a quantized checkpoint -> (model config, params pytree, qconfig).
 
     Parity: reference load_quantized_model (``quantizer.py:779-848``) minus
-    the CUDA requirement.
+    the CUDA requirement. ``save_dir`` may be a HF-hub model id (resolved
+    via snapshot_download, reference quantizer.py:760-776,803).
     """
+    from .hf_import import resolve_model_path
+    save_dir = resolve_model_path(save_dir)
     cfg = ModelConfig.from_pretrained_dir(save_dir)
     qcfg = load_quant_config(save_dir)
 

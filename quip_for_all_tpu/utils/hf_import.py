@@ -18,6 +18,33 @@ from safetensors import safe_open
 from ..models.config import ModelConfig
 
 
+def resolve_model_path(path_or_id: str) -> str:
+    """Local directory, or a HF-hub model id to snapshot_download.
+
+    Parity: the reference's load_config falls back to snapshot_download
+    for non-directory ids (``/root/reference/quantizer.py:760-776,803``).
+    In an offline environment the hub call raises; we surface a clear
+    error instead of a deep traceback."""
+    if os.path.isdir(path_or_id):
+        return path_or_id
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"{path_or_id!r} is not a local directory and huggingface_hub "
+            "is not installed to resolve it as a model id") from e
+    try:
+        return snapshot_download(
+            repo_id=path_or_id,
+            allow_patterns=["*.json", "*.safetensors", "*.model",
+                            "*.txt"])
+    except Exception as e:
+        raise FileNotFoundError(
+            f"{path_or_id!r} is not a local directory and could not be "
+            f"fetched from the HuggingFace hub ({type(e).__name__}: {e})"
+        ) from e
+
+
 def _open_all_tensors(path: str) -> Dict[str, np.ndarray]:
     index = os.path.join(path, "model.safetensors.index.json")
     tensors: Dict[str, np.ndarray] = {}
@@ -41,6 +68,7 @@ def _open_all_tensors(path: str) -> Dict[str, np.ndarray]:
 
 def load_hf_model(path: str, dtype=jnp.float32
                   ) -> Tuple[ModelConfig, Dict[str, Any]]:
+    path = resolve_model_path(path)
     cfg = ModelConfig.from_pretrained_dir(path)
     t = _open_all_tensors(path)
     if cfg.arch == "gpt2":

@@ -130,3 +130,58 @@ def test_merge_suv_unsupported_arch_raises():
     from quip_for_all_tpu.models import gpt2 as G
     with pytest.raises(ValueError, match="merge_suv"):
         q.quantize_model(cfg, G.init_gpt2_params(cfg, seed=0), calib)
+
+
+def test_e2e_finetune_pipelined_over_mesh():
+    """ft_pp>1 runs the end-to-end CE finetune through the GPipe pipeline
+    (parallel/pipeline.py) — the reference pipelines e2e ft across GPUs
+    via accelerate device_map (quantizer.py:626-638); here it must work
+    on a CPU pp-mesh with validation CE no worse than the initial
+    quantized model, matching the single-device ft path's behavior."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = _fresh(cfg)
+    calib = synthetic_tokens(32, 32, cfg.vocab_size, seed=1)
+    eval_toks = synthetic_tokens(8, 32, cfg.vocab_size, seed=2)
+
+    q = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=2,
+                      ft_train_size=12, ft_valid_size=4, ft_batch_size=4,
+                      ft_pp=2, ft_microbatches=2)
+    qparams = q.quantize_model(cfg, params, calib)
+    assert hasattr(q, "e2e_ft_stats_")
+    assert q.e2e_ft_stats_["best"] <= q.e2e_ft_stats_["initial"], \
+        q.e2e_ft_stats_
+    ppl = perplexity(cfg, qparams, eval_toks, batch_size=4)
+    assert np.isfinite(ppl)
+
+
+def test_e2e_finetune_pipelined_matches_single_device_loss():
+    """The pipelined ft student loss must equal the single-device one for
+    identical params (the pipeline is a scheduling change, not a numerics
+    change)."""
+    from quip_for_all_tpu.parallel.pipeline import (make_pp_mesh,
+                                                    pipeline_logits)
+    from quip_for_all_tpu.models import registry as R
+    cfg = tiny_config(num_hidden_layers=2)
+    calib = synthetic_tokens(16, 32, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qparams = q.quantize_model(cfg, _fresh(cfg), calib)
+    ids = jnp.asarray(calib[:4])
+    mesh = make_pp_mesh(2)
+    lp = pipeline_logits(cfg, qparams, ids, mesh, n_microbatches=2,
+                         linear_kw={"training": True})
+    ls, _ = R.get_arch(cfg).model_apply(cfg, qparams, ids,
+                                        linear_kw={"training": True})
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ft_pp_must_divide_layers():
+    cfg = tiny_config(num_hidden_layers=3)
+    calib = synthetic_tokens(16, 32, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="D4", nsamples=8, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=1, ft_train_size=4,
+                      ft_valid_size=4, ft_batch_size=4, ft_pp=2)
+    with pytest.raises(ValueError, match="ft_pp"):
+        q.quantize_model(cfg, _fresh(cfg), calib)

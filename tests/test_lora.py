@@ -133,3 +133,53 @@ def test_lora_cli_runs(tmp_path):
               "--epochs", "1", "--batch-size", "4"])
     assert os.path.isfile(os.path.join(out_dir, "lora_adapters.safetensors"))
     assert os.path.isfile(os.path.join(out_dir, "lora_config.json"))
+
+
+def test_peft_export_import_roundtrip(tmp_path):
+    """Adapters written in standard PEFT layout (adapter_model.safetensors
+    + adapter_config.json, reference example_finetune.py:22-34) must
+    attach back onto a fresh base model with identical logits."""
+    from quip_for_all_tpu.quantize.lora_train import export_peft, import_peft
+
+    cfg, params = _quantized_tiny()
+    lp = add_lora(params, rank=4, alpha=8.0, seed=3)
+    # perturb B so the adapters are non-trivial
+    flat = collect_lora_trainable(lp["layers"], "layers")
+    flat = {k: (v + 0.05 if k.endswith("lora_B") else v)
+            for k, v in flat.items()}
+    lp["layers"] = apply_lora_trainable(lp["layers"], flat, "layers")
+
+    d = str(tmp_path / "peft")
+    export_peft(lp, d, rank=4, alpha=8.0)
+
+    import json
+    import os
+    with open(os.path.join(d, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    assert acfg["peft_type"] == "LORA" and acfg["r"] == 4
+    from safetensors.numpy import load_file
+    raw = load_file(os.path.join(d, "adapter_model.safetensors"))
+    assert all(k.startswith("base_model.model.model.layers.")
+               and k.endswith(".weight") for k in raw)
+
+    _, fresh = _quantized_tiny()
+    restored = import_peft(fresh, d)
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 2))
+    l0, _ = M.model_apply(cfg, lp, ids)
+    l1, _ = M.model_apply(cfg, restored, ids)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_model_path_errors_cleanly():
+    """A non-directory id in an offline env must fail with a clear
+    FileNotFoundError, not a deep hub traceback (reference seam:
+    quantizer.py:760-776 snapshot_download fallback)."""
+    import os
+    import pytest
+    from quip_for_all_tpu.utils.hf_import import resolve_model_path
+    assert resolve_model_path(os.path.dirname(__file__)) == \
+        os.path.dirname(__file__)
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError, match="not a local directory"):
+        resolve_model_path("meta-llama/Llama-2-7b-hf")

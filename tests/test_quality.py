@@ -50,20 +50,76 @@ def trained_tiny():
     return cfg, params, eval_toks, ppl
 
 
-def test_bitwidth_quality_ordering(trained_tiny):
-    cfg, params, eval_toks, ppl_f = trained_tiny
-    calib = synthetic_tokens(32, 32, cfg.vocab_size, seed=13)
+def _quantize_ppl(trained_tiny, **kw):
+    cfg, params, eval_toks, _ = trained_tiny
+    calib_n = kw.pop("calib_n", 32)
+    q = QuipQuantizer(nsamples=kw.pop("nsamples", 32), batch_size=8,
+                      quip_tune_iters=kw.pop("quip_tune_iters", 2),
+                      seed=kw.pop("seed", 1), **kw)
+    calib = synthetic_tokens(calib_n, 32, cfg.vocab_size, seed=13)
+    p = jax.tree_util.tree_map(jnp.array, params)
+    qp = q.quantize_model(cfg, p, calib)
+    return float(perplexity(cfg, qp, eval_toks, batch_size=8))
 
-    ppls = {}
-    for cb in ("E8P12", "E8P12RVQ4B"):
-        q = QuipQuantizer(codebook=cb, nsamples=32, batch_size=8,
-                          quip_tune_iters=2, ft_epochs=0, seed=1)
-        import copy
-        p = jax.tree_util.tree_map(jnp.array, params)
-        qp = q.quantize_model(cfg, p, calib)
-        ppls[cb] = perplexity(cfg, qp, eval_toks, batch_size=8)
 
-    # 4-bit residual must beat 2-bit; both stay within sane range of float
-    assert ppls["E8P12RVQ4B"] < ppls["E8P12"], (ppl_f, ppls)
+@pytest.fixture(scope="module")
+def codebook_ppls(trained_tiny):
+    """Quantize the trained tiny model once per codebook (module-scoped:
+    the full-matrix assertions below all read from this dict)."""
+    return {cb: _quantize_ppl(trained_tiny, codebook=cb, ft_epochs=0)
+            for cb in ("E8P12", "D4", "HI", "E8P12RVQ3B", "E8P12RVQ4B")}
+
+
+def test_bitwidth_quality_ordering(trained_tiny, codebook_ppls):
+    """More bits must help monotonically within the E8P residual family,
+    and every codebook must stay in a sane range of the float model
+    (reference quality ladder: 2-bit E8P12 / 3-bit RVQ3B / 4-bit RVQ4B,
+    /root/reference/codebook/*.py opt_scale constants)."""
+    _, _, _, ppl_f = trained_tiny
+    ppls = codebook_ppls
+    assert ppls["E8P12RVQ4B"] < ppls["E8P12RVQ3B"] < ppls["E8P12"], \
+        (ppl_f, ppls)
     assert ppls["E8P12RVQ4B"] < ppl_f * 1.35, (ppl_f, ppls)
+    assert ppls["E8P12RVQ3B"] < ppl_f * 2.0, (ppl_f, ppls)
     assert ppls["E8P12"] < ppl_f * 3.0, (ppl_f, ppls)
+
+
+def test_scalar_and_d4_quality(trained_tiny, codebook_ppls):
+    """4-bit scalar HI must beat both 2-bit lattices; D4 (2-bit, codesz=4)
+    lands in the same quality band as E8P12 (2-bit, codesz=8)."""
+    _, _, _, ppl_f = trained_tiny
+    ppls = codebook_ppls
+    assert ppls["HI"] < ppls["D4"], (ppl_f, ppls)
+    assert ppls["HI"] < ppls["E8P12"], (ppl_f, ppls)
+    assert ppls["HI"] < ppl_f * 1.5, (ppl_f, ppls)
+    assert ppls["D4"] < ppl_f * 4.0, (ppl_f, ppls)
+
+
+def test_ft_epochs_improves_quality(trained_tiny, codebook_ppls):
+    """Block-MSE + end-to-end CE finetune must not make the quantized
+    model worse (parity: the reference's ft passes exist to recover
+    quality, quantizer.py:501-560,597-702)."""
+    ppl_ft = _quantize_ppl(trained_tiny, codebook="E8P12", ft_epochs=2,
+                           calib_n=64, ft_train_size=24, ft_valid_size=8,
+                           ft_batch_size=8)
+    assert ppl_ft < codebook_ppls["E8P12"] * 1.02, \
+        (ppl_ft, codebook_ppls["E8P12"])
+
+
+def test_merge_suv_quality(trained_tiny, codebook_ppls):
+    """merge_suv changes which sign vectors are drawn (shared at block
+    interfaces) but must stay in the same quality band as unmerged."""
+    ppl_m = _quantize_ppl(trained_tiny, codebook="E8P12", ft_epochs=0,
+                          merge_suv=True)
+    assert ppl_m < codebook_ppls["E8P12"] * 1.5, \
+        (ppl_m, codebook_ppls["E8P12"])
+
+
+def test_tp_shards_quality(trained_tiny, codebook_ppls):
+    """tp_shards=2 uses block-diagonal (I_2 ⊗ U_{n/2}) incoherence
+    transforms — a different (still orthogonal) rotation, so quality must
+    match the unsharded transform's band, not bit-equal it."""
+    ppl_tp = _quantize_ppl(trained_tiny, codebook="E8P12", ft_epochs=0,
+                           tp_shards=2)
+    assert ppl_tp < codebook_ppls["E8P12"] * 1.5, \
+        (ppl_tp, codebook_ppls["E8P12"])
