@@ -37,12 +37,16 @@ def main(argv=None):
     ap.add_argument("--targets", nargs="*", default=None,
                     help="linear name suffixes to adapt (default: llama "
                     "attn+mlp projections)")
+    ap.add_argument("--peft", action="store_true",
+                    help="also write the adapters in standard PEFT layout "
+                    "(adapter_model.safetensors + adapter_config.json) so "
+                    "they load into the reference / any PEFT stack")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     from ..data.calibration import get_calibration_tokens
     from ..nn.lora import DEFAULT_TARGETS
-    from ..quantize.lora_train import save_lora, train_lora
+    from ..quantize.lora_train import export_peft, save_lora, train_lora
     from ..utils.checkpoint import load_quantized
 
     cfg, params, _ = load_quantized(args.model_path)
@@ -67,6 +71,9 @@ def main(argv=None):
         weight_decay=args.weight_decay, early_stop=args.early_stop,
         seed=args.seed)
     save_lora(params, args.save_dir, args.rank, args.alpha, targets)
+    if args.peft:
+        export_peft(params, args.save_dir, args.rank, args.alpha, targets,
+                    base_model_name_or_path=args.model_path)
     print(f"saved LoRA adapters to {args.save_dir}", file=sys.stderr)
 
 

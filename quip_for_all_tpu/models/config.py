@@ -162,6 +162,25 @@ class ModelConfig:
                 rms_norm_eps=1e-5,
                 tie_word_embeddings=True,
             )
+        if model_type == "qwen":
+            # legacy QWen-1 (trust_remote_code): fused biased attn.c_attn,
+            # w1*silu(w2)->c_proj MLP with HF intermediate_size stored
+            # PRE-halving (QWenMLP projects to intermediate_size // 2)
+            return cls(
+                arch="qwen",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                intermediate_size=cfg["intermediate_size"] // 2,
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                num_key_value_heads=cfg["num_attention_heads"],
+                head_dim=cfg.get("kv_channels"),
+                max_position_embeddings=cfg.get("seq_length", 2048),
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+                rope_theta=cfg.get("rotary_emb_base", 10000.0),
+                attention_bias=True,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
         if model_type in ("baichuan", "baichuan2"):
             # rope variants (7B); the 13B alibi variant is not supported
             return cls(

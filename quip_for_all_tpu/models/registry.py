@@ -26,6 +26,9 @@ def get_arch(cfg: ModelConfig):
     if cfg.arch == "gptj":
         from . import gptj
         return gptj
+    if cfg.arch == "qwen":
+        from . import qwen
+        return qwen
     from . import llama
     return llama
 
@@ -39,7 +42,7 @@ def embed(cfg: ModelConfig, params, ids, positions, dtype):
     if cfg.arch == "gpt_neox":
         return jnp.take(params["embed_in"]["weight"], ids,
                         axis=0).astype(dtype)
-    if cfg.arch == "gptj":
+    if cfg.arch in ("gptj", "qwen"):
         return jnp.take(params["wte"]["weight"], ids,
                         axis=0).astype(dtype)
     if cfg.arch == "opt":
@@ -77,6 +80,7 @@ _FINAL_NORM = {
     "falcon": ("ln_f", "layer"),
     "phi": ("final_layernorm", "layer"),
     "gptj": ("ln_f", "layer"),
+    "qwen": ("ln_f", "rms"),
 }
 
 # family -> key of the tied-embedding matrix used as the output head when
@@ -84,6 +88,7 @@ _FINAL_NORM = {
 _TIED_EMBED = {
     "gpt2": "wte",
     "gptj": "wte",
+    "qwen": "wte",
     "falcon": "word_embeddings",
 }
 

@@ -60,7 +60,8 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
     op; ``right_spec`` additionally folds the right transform's B-side
     factor into the epilogue (right_done=True → caller must finish_right
     instead of matmul_hadU)."""
-    if not _GROUPED_PROLOGUE or x.shape[0] > 1024:
+    from ..ops.quant_matmul import _SMALL_M
+    if not _GROUPED_PROLOGUE or x.shape[0] >= _SMALL_M:
         return None
     try:
         from ..ops.dequant_pallas import (can_fuse_right,

@@ -42,6 +42,15 @@ _INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
 # experiment: concatenate the 8 decoded value planes into one (TN, 8G)
 # weight tile and issue ONE MXU dot per plane set instead of 8
 _CONCAT_DOT = os.environ.get("QFA_CONCAT_DOT", "0") == "1"
+# experiment: at m <= this threshold, run the dots in f32 and skip the
+# per-element f32->bf16 convert of the decoded (TN, G) planes — at
+# decode-sized m the MXU rate penalty is irrelevant but the VPU convert
+# is ~25% of the decode ops. Values {0..15} are exact either way, so the
+# result is bit-identical. 0 = off (round-2 behavior) until hardware A/B.
+_F32_SMALL_M = int(os.environ.get("QFA_F32_SMALL_M", "0"))
+# experiment: convert decoded nibbles int32 -> bf16 in ONE astype instead
+# of via f32 (saves one VPU convert per element if Mosaic lowers it)
+_DIRECT_CVT = os.environ.get("QFA_DIRECT_CVT", "0") == "1"
 
 
 def _nibble(w_i32, i: int):
@@ -76,20 +85,30 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
         # pure overhead; accumulation stays f32 via preferred_element_type
         x = x_ref[...]                                 # (m, 8G)
+        if _F32_SMALL_M and x.shape[0] <= _F32_SMALL_M:
+            x = x.astype(jnp.float32)                  # tiny; dots in f32
+
+        def cvt(v_i32):
+            if x.dtype == jnp.float32:
+                return v_i32.astype(jnp.float32)
+            if _DIRECT_CVT:
+                return v_i32.astype(x.dtype)
+            return v_i32.astype(jnp.float32).astype(x.dtype)
+
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
             w = pltpu.bitcast(w_ref[...], jnp.int32)
             if _CONCAT_DOT:
                 vt = jnp.concatenate(
-                    [_nibble(w, i).astype(jnp.float32).astype(x.dtype)
-                     for i in range(8)], axis=1)       # (TN, 8G)
+                    [cvt(_nibble(w, i)) for i in range(8)],
+                    axis=1)                            # (TN, 8G)
                 acc = jax.lax.dot_general(
                     x, vt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
             else:
                 acc = None
                 for i in range(8):
-                    v = _nibble(w, i).astype(jnp.float32).astype(x.dtype)
+                    v = cvt(_nibble(w, i))
                     part = jax.lax.dot_general(
                         x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)

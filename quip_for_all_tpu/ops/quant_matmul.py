@@ -11,6 +11,8 @@ decompress+cuBLAS for larger m, ``codebook/e8p12.py:144-156``). Implementations:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -22,9 +24,10 @@ from .qtensor import QuantizedTensor
 # accumulator tiles) it stays register-resident at any m — measured
 # whole-model: bs=32 decode 1887 vs 149 tok/s, S=512 prefill 3617 vs
 # 3166 tok/s. The reference's m=32 CUDA threshold is wrong for TPU.
-# Above 1024 rows the per-m-tile plane re-decode is unmeasured, so auto
-# falls back to dense there (eval_ppl's S=2048 windows etc.).
-_SMALL_M = 1025
+# Above 1024 rows the per-m-tile plane re-decode is UNMEASURED, so auto
+# falls back to dense there (eval_ppl's S=2048 windows). QFA_FUSED_MAX_M
+# overrides the crossover for the hardware A/B that will settle it.
+_SMALL_M = int(os.environ.get("QFA_FUSED_MAX_M", "1025"))
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor,

@@ -30,11 +30,17 @@ _COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
                  "query_key_value", "dense_h_to_4h",       # gpt_neox
                  "fc1",                                    # opt
                  "W_pack",                                 # baichuan
-                 "fc_in")                                  # gptj
+                 "fc_in",                                  # gptj
+                 "c_attn", "mlp.w2",  # qwen/gpt2 fused qkv; qwen up-proj
+                 "c_fc")                                   # gpt2
+# NOTE: qwen's "mlp.w2" is an UP projection (column-parallel) while
+# mixtral's "experts.{e}.w2" is the down projection (row-parallel) — the
+# longer suffix above wins because _COL_PARALLEL is checked first.
 _ROW_PARALLEL = ("o_proj", "down_proj", "w2",
                  "dense", "dense_4h_to_h",                 # gpt_neox
                  "out_proj", "fc2",                        # opt
-                 "fc_out")                                 # gptj
+                 "fc_out",                                 # gptj
+                 "c_proj")                                 # qwen/gpt2
 
 
 def role_of(name: str) -> str:
@@ -100,6 +106,7 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
         bias=None if p.bias is None else (P("tp") if shard_out else P()),
         had_left=None if p.had_left is None else P(None, None),
         had_right=None if p.had_right is None else P(None, None),
+        wscale_float=P(),    # dynamic scalar leaf, replicated
         W_cache=None if p.W_cache is None else P(None, None))
 
 

@@ -132,6 +132,16 @@ def sublayer_groups(cfg: ModelConfig) -> List[Dict[str, Any]]:
             groups.append({"capture": f"expert{e}_down",
                            "layers": [f"block_sparse_moe.experts.{e}.w2"]})
         return groups
+    if cfg.arch == "qwen":
+        # legacy QWen-1 names (reference constants.py:30,57-58 + sublayer
+        # split utils.py:199-207): fused c_attn, w1/w2 share the ln_2
+        # activation, c_proj consumes the product
+        return [
+            {"capture": "qkv", "layers": ["attn.c_attn"]},
+            {"capture": "o", "layers": ["attn.c_proj"]},
+            {"capture": "fc1", "layers": ["mlp.w1", "mlp.w2"]},
+            {"capture": "fc2", "layers": ["mlp.c_proj"]},
+        ]
     if cfg.arch == "baichuan":
         return [
             {"capture": "qkv", "layers": ["self_attn.W_pack"]},
@@ -277,6 +287,21 @@ class QuipQuantizer:
                 "mlp.down_proj": ("down_in", None),
             })
             return {"signs": signs, "map": mp, "norm_folds": norm_folds,
+                    "linear_folds": []}
+        if cfg.arch == "qwen":
+            # reference merge graph utils.py:170-175: ln_1 -> c_attn;
+            # ln_2 -> w1,w2; w1's output sign -> c_proj (the elementwise
+            # product w1 * silu(w2) carries w1's sign through)
+            signs = {"qkv_in": D, "mlp_in": D, "down_in": I}
+            mp = {
+                "attn.c_attn": ("qkv_in", None),
+                "mlp.w1": ("mlp_in", "down_in"),
+                "mlp.w2": ("mlp_in", None),
+                "mlp.c_proj": ("down_in", None),
+            }
+            return {"signs": signs, "map": mp,
+                    "norm_folds": [("ln_1", "qkv_in"),
+                                   ("ln_2", "mlp_in")],
                     "linear_folds": []}
         if cfg.arch == "mixtral":
             signs = {"qkv_in": D, "mlp_in": D}

@@ -55,9 +55,17 @@ class ServingEngine:
                  top_k: int = 0, prefill_buckets=None,
                  prefill_chunk: Optional[int] = None,
                  decode_chunk: int = 8,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None,
+                 on_token=None):
+        """``on_token(rid, token, done)`` — optional streaming callback,
+        invoked in emission order for every generated token (including the
+        first, sampled at admission) with ``done=True`` on a request's
+        final token. The reference stack streams via TextStreamer in its
+        generate example only (example_generate.py:89-101); the serving
+        engine here makes it first-class."""
         self.cfg = cfg
         self.mesh = mesh
+        self.on_token = on_token
         if mesh is not None:
             # tensor-sharded serving: weights (incl. quantized planes) get
             # megatron specs, KV caches shard over kv heads
@@ -231,6 +239,16 @@ class ServingEngine:
             self.pos[slot] = req.prompt.shape[0]
             self.last_tok[slot] = int(first[0])
             req.generated.append(int(first[0]))
+            done = (req.max_new_tokens <= 1
+                    or self.pos[slot] >= self.S - 1)
+            if self.on_token is not None:
+                self.on_token(req.rid, int(first[0]), done)
+            if done:
+                self.done[req.rid] = np.concatenate(
+                    [req.prompt,
+                     np.asarray(req.generated, dtype=np.int32)])
+                self.active[slot] = False
+                self.slot_req[slot] = None
 
     def step(self):
         self._admit()
@@ -238,7 +256,20 @@ class ServingEngine:
             return []
         self.key, sub = jax.random.split(self.key)
         max_pos = int(self.pos[self.active].max())
-        n = max(1, min(self.decode_chunk, self.S - 1 - max_pos))
+        # clamp the chunk to the largest remaining token budget among
+        # active slots — when every in-flight request finishes within k
+        # tokens, decoding past k is pure discarded work. Rounded up to a
+        # power of two so tail chunks reuse <= log2(decode_chunk) compiled
+        # programs instead of one per distinct tail length (chunk is a
+        # static arg); waste stays < 2x the needed tail.
+        remaining = max(
+            req.max_new_tokens - len(req.generated)
+            for req in self.slot_req if req is not None)
+        needed = max(1, min(self.decode_chunk, remaining))
+        n = 1
+        while n < needed:
+            n *= 2
+        n = max(1, min(n, self.decode_chunk, self.S - 1 - max_pos))
         w = attn_bucket(max_pos + n, self.S)
         self.caches, toks = self._decode(
             self.caches, self.params, jnp.asarray(self.last_tok),
@@ -256,8 +287,11 @@ class ServingEngine:
                 emitted.append((req.rid, int(nxt[slot])))
                 self.pos[slot] += 1
                 self.last_tok[slot] = nxt[slot]
-                if (len(req.generated) >= req.max_new_tokens
-                        or self.pos[slot] >= self.S - 1):
+                finished = (len(req.generated) >= req.max_new_tokens
+                            or self.pos[slot] >= self.S - 1)
+                if self.on_token is not None:
+                    self.on_token(req.rid, int(nxt[slot]), finished)
+                if finished:
                     self.done[req.rid] = np.concatenate(
                         [req.prompt, np.asarray(req.generated,
                                                 dtype=np.int32)])

@@ -156,6 +156,18 @@ _HF_CONFIG_KEYS = {
         "max_position_embeddings": "max_position_embeddings",
         "do_layer_norm_before": lambda c: True,
     },
+    "qwen": {
+        "vocab_size": "vocab_size", "hidden_size": "hidden_size",
+        # QWen stores intermediate_size PRE-halving (see ModelConfig)
+        "intermediate_size": lambda c: 2 * c.intermediate_size,
+        "num_hidden_layers": "num_hidden_layers",
+        "num_attention_heads": "num_attention_heads",
+        "kv_channels": "head_dim",
+        "seq_length": "max_position_embeddings",
+        "layer_norm_epsilon": "rms_norm_eps",
+        "rotary_emb_base": "rope_theta",
+        "tie_word_embeddings": "tie_word_embeddings",
+    },
 }
 
 
@@ -362,6 +374,13 @@ def load_quantized(save_dir: str, dtype=jnp.float32
     if cfg.arch == "gptj":
         return cfg, _load_gptj(cfg, tensors, qlinear_names, qcfg,
                                dtype), qcfg
+    if cfg.arch == "qwen":
+        return cfg, _load_qwen(cfg, tensors, qlinear_names, qcfg,
+                               dtype), qcfg
+
+    # Yi checkpoints name the block norms ln1/ln2 (reference
+    # utils.py:186-191); normalize to llama naming
+    tensors = _yi_aliases(tensors)
 
     params: Dict[str, Any] = {
         "embed_tokens": {"weight": jnp.asarray(
@@ -412,6 +431,51 @@ def load_quantized(save_dir: str, dtype=jnp.float32
             }
         params["layers"].append(blk)
     return cfg, params, qcfg
+
+
+def _yi_aliases(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename Yi-style ``ln1``/``ln2`` block norms to llama's
+    ``input_layernorm``/``post_attention_layernorm`` (the models are
+    otherwise identical; reference merge map /root/reference/
+    utils.py:186-191 keys off the ln1/ln2 names)."""
+    if not any(".ln1.weight" in k for k in tensors):
+        return tensors
+    out = {}
+    for k, v in tensors.items():
+        k = k.replace(".ln1.", ".input_layernorm.").replace(
+            ".ln2.", ".post_attention_layernorm.")
+        out[k] = v
+    return out
+
+
+def _load_qwen(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype
+               ) -> Dict[str, Any]:
+    linear_or_dense, _ = _loaders(tensors, qlinear_names, qcfg, dtype)
+
+    def rms(name):
+        return {"weight": jnp.asarray(tensors[name + ".weight"],
+                                      dtype=dtype)}
+
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(tensors["model.wte.weight"],
+                                      dtype=dtype)},
+        "ln_f": rms("model.ln_f"),
+        "layers": [],
+    }
+    if "lm_head.weight" in tensors or "lm_head" in qlinear_names:
+        params["lm_head"] = linear_or_dense("lm_head")
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "ln_1": rms(f"{p}.ln_1"),
+            "ln_2": rms(f"{p}.ln_2"),
+            "attn": {"c_attn": linear_or_dense(f"{p}.attn.c_attn"),
+                     "c_proj": linear_or_dense(f"{p}.attn.c_proj")},
+            "mlp": {"w1": linear_or_dense(f"{p}.mlp.w1"),
+                    "w2": linear_or_dense(f"{p}.mlp.w2"),
+                    "c_proj": linear_or_dense(f"{p}.mlp.c_proj")},
+        })
+    return params
 
 
 def _load_gpt2(cfg: ModelConfig, tensors, qlinear_names, qcfg, dtype

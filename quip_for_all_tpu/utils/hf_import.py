@@ -83,6 +83,15 @@ def load_hf_model(path: str, dtype=jnp.float32
         return cfg, _phi_params(cfg, t, dtype)
     if cfg.arch == "gptj":
         return cfg, _gptj_params(cfg, t, dtype)
+    if cfg.arch == "qwen":
+        return cfg, _qwen_params(cfg, t, dtype)
+
+    # Yi float checkpoints name the block norms ln1/ln2 (reference
+    # utils.py:186-191); normalize to llama naming
+    if any(".ln1.weight" in k for k in t):
+        t = {k.replace(".ln1.", ".input_layernorm.").replace(
+            ".ln2.", ".post_attention_layernorm."): v
+            for k, v in t.items()}
 
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
@@ -186,11 +195,13 @@ def _named_lin(t, name, dtype):
     return d
 
 
-def _named_ln(t, name, dtype):
-    return {"weight": jnp.asarray(np.asarray(
-                t[name + ".weight"], dtype=np.float32), dtype=dtype),
-            "bias": jnp.asarray(np.asarray(
-                t[name + ".bias"], dtype=np.float32), dtype=dtype)}
+def _named_ln(t, name, dtype, bias=True):
+    d = {"weight": jnp.asarray(np.asarray(
+                t[name + ".weight"], dtype=np.float32), dtype=dtype)}
+    if bias:
+        d["bias"] = jnp.asarray(np.asarray(
+            t[name + ".bias"], dtype=np.float32), dtype=dtype)
+    return d
 
 
 def _gpt_neox_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
@@ -339,5 +350,32 @@ def _gptj_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
                      for x in ("q_proj", "k_proj", "v_proj", "out_proj")},
             "mlp": {"fc_in": _named_lin(t, f"{p}.mlp.fc_in", dtype),
                     "fc_out": _named_lin(t, f"{p}.mlp.fc_out", dtype)},
+        })
+    return params
+
+
+def _qwen_params(cfg: ModelConfig, t: Dict[str, np.ndarray], dtype
+                 ) -> Dict[str, Any]:
+    """Legacy QWen-1 HF layout: transformer.h.{i}.ln_1/attn.c_attn(+bias)/
+    attn.c_proj/ln_2/mlp.{w1,w2,c_proj} + transformer.{wte,ln_f} + lm_head
+    (reference name patterns: constants.py:30,57-58)."""
+    params: Dict[str, Any] = {
+        "wte": {"weight": jnp.asarray(
+            np.asarray(t["transformer.wte.weight"], np.float32), dtype)},
+        "ln_f": _named_ln(t, "transformer.ln_f", dtype, bias=False),
+        "layers": [],
+    }
+    if "lm_head.weight" in t:
+        params["lm_head"] = _named_lin(t, "lm_head", dtype)
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.h.{i}"
+        params["layers"].append({
+            "ln_1": _named_ln(t, f"{p}.ln_1", dtype, bias=False),
+            "ln_2": _named_ln(t, f"{p}.ln_2", dtype, bias=False),
+            "attn": {"c_attn": _named_lin(t, f"{p}.attn.c_attn", dtype),
+                     "c_proj": _named_lin(t, f"{p}.attn.c_proj", dtype)},
+            "mlp": {"w1": _named_lin(t, f"{p}.mlp.w1", dtype),
+                    "w2": _named_lin(t, f"{p}.mlp.w2", dtype),
+                    "c_proj": _named_lin(t, f"{p}.mlp.c_proj", dtype)},
         })
     return params

@@ -34,6 +34,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# two-tier suite: `pytest -m fast` is the <3 min smoke pass; the heavy
+# trained-model / multi-device integration modules get `slow` (full suite
+# runs them; split with `-m "not slow"` / `-m slow` to parallelize)
+_FAST_MODULES = {
+    "test_codebooks", "test_hadamard", "test_ldlq", "test_calibration",
+    "test_qlinear", "test_fusion", "test_grouped_prologue",
+    "test_bench_supervisor", "test_pallas_fused", "test_resume",
+    "test_tp_shards", "test_sharded_checkpoint", "test_qwen_yi",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        has = {m.name for m in item.iter_markers()}
+        if "fast" in has or "slow" in has:
+            continue
+        item.add_marker(pytest.mark.fast if mod in _FAST_MODULES
+                        else pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

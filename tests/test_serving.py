@@ -180,3 +180,54 @@ def test_serving_mixtral_sparse_moe():
         ref = np.asarray(generate(cfg, params, jnp.asarray(p)[None], 6,
                                   cache_len=128, dtype_str="float32"))[0]
         np.testing.assert_array_equal(results[rid], ref)
+
+
+def test_serving_streaming_callback_and_chunk_clamp():
+    """on_token streams every generated token in order with a correct
+    done flag, and the decode chunk is clamped to the remaining budgets
+    (pow2-bucketed) so the engine never decodes a full chunk no consumer
+    can use."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    streamed = []
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8,
+                        decode_chunk=8,
+                        on_token=lambda rid, tok, done:
+                        streamed.append((rid, tok, done)))
+    chunks = []
+    orig = eng._decode
+
+    def spy(caches, params, tok, pos, active, key, attn_window=None,
+            chunk=1):
+        chunks.append(chunk)
+        return orig(caches, params, tok, pos, active, key,
+                    attn_window=attn_window, chunk=chunk)
+    eng._decode = spy
+
+    r0 = eng.add_request(np.array([1, 2, 3]), max_new_tokens=3)
+    r1 = eng.add_request(np.array([4, 5]), max_new_tokens=3)
+    out = eng.run(max_steps=50)
+
+    # every token was streamed, in emission order, with done on the last
+    for rid in (r0, r1):
+        toks = [t for r, t, _ in streamed if r == rid]
+        assert len(toks) == 3
+        gen = out[rid][-3:]
+        assert toks == list(gen), (toks, gen)
+        flags = [d for r, _, d in streamed if r == rid]
+        assert flags == [False, False, True]
+    # 3 new tokens: 1 at admission + 2 remaining -> one chunk of 2, never 8
+    assert chunks == [2], chunks
+
+
+def test_serving_single_token_request():
+    """max_new_tokens=1 must return exactly one generated token (the
+    admission sample) without entering the decode loop for it."""
+    cfg = tiny_config(num_hidden_layers=2)
+    params = M.init_llama_params(cfg, seed=0)
+    eng = ServingEngine(cfg, params, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8)
+    rid = eng.add_request(np.array([1, 2, 3]), max_new_tokens=1)
+    out = eng.run(max_steps=10)
+    assert out[rid].shape[0] == 3 + 1
