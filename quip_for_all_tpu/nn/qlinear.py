@@ -60,8 +60,8 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
     op; ``right_spec`` additionally folds the right transform's B-side
     factor into the epilogue (right_done=True → caller must finish_right
     instead of matmul_hadU)."""
-    from ..ops.quant_matmul import _SMALL_M
-    if not _GROUPED_PROLOGUE or x.shape[0] >= _SMALL_M:
+    from ..ops.quant_matmul import fused_max_m
+    if not _GROUPED_PROLOGUE or x.shape[0] >= fused_max_m():
         return None
     try:
         from ..ops.dequant_pallas import (can_fuse_right,

@@ -42,15 +42,23 @@ _INTERPRET = os.environ.get("QFA_PALLAS_INTERPRET", "0") == "1"
 # experiment: concatenate the 8 decoded value planes into one (TN, 8G)
 # weight tile and issue ONE MXU dot per plane set instead of 8
 _CONCAT_DOT = os.environ.get("QFA_CONCAT_DOT", "0") == "1"
-# experiment: at m <= this threshold, run the dots in f32 and skip the
-# per-element f32->bf16 convert of the decoded (TN, G) planes — at
-# decode-sized m the MXU rate penalty is irrelevant but the VPU convert
-# is ~25% of the decode ops. Values {0..15} are exact either way, so the
-# result is bit-identical. 0 = off (round-2 behavior) until hardware A/B.
-_F32_SMALL_M = int(os.environ.get("QFA_F32_SMALL_M", "0"))
-# experiment: convert decoded nibbles int32 -> bf16 in ONE astype instead
-# of via f32 (saves one VPU convert per element if Mosaic lowers it)
-_DIRECT_CVT = os.environ.get("QFA_DIRECT_CVT", "0") == "1"
+
+
+def _variant() -> tuple:
+    """Kernel A/B knobs, read at CALL time (they ride the jit-static meta
+    tuple, so flipping an env var between calls recompiles instead of
+    reusing a stale executable — lets one TPU process A/B variants):
+
+    QFA_F32_SMALL_M=N — at m <= N run the dots in f32 and skip the
+      per-element f32->bf16 convert of the decoded (TN, G) planes; at
+      decode-sized m the MXU rate penalty is irrelevant but the VPU
+      convert is ~25% of the decode ops. Values {0..15} are exact either
+      way, so results are bit-identical. 0 = off (round-2 behavior).
+    QFA_DIRECT_CVT=1 — convert nibbles int32 -> bf16 in ONE astype
+      instead of via f32 (saves a VPU convert if Mosaic lowers it).
+    """
+    return (int(os.environ.get("QFA_F32_SMALL_M", "0")),
+            os.environ.get("QFA_DIRECT_CVT", "0") == "1")
 
 
 def _nibble(w_i32, i: int):
@@ -67,7 +75,8 @@ def _nibble(w_i32, i: int):
 
 
 def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
-                 right_b: int):
+                 right_b: int, variant=(0, False)):
+    f32_small_m, direct_cvt = variant
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
@@ -85,13 +94,13 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
         # pure overhead; accumulation stays f32 via preferred_element_type
         x = x_ref[...]                                 # (m, 8G)
-        if _F32_SMALL_M and x.shape[0] <= _F32_SMALL_M:
+        if f32_small_m and x.shape[0] <= f32_small_m:
             x = x.astype(jnp.float32)                  # tiny; dots in f32
 
         def cvt(v_i32):
             if x.dtype == jnp.float32:
                 return v_i32.astype(jnp.float32)
-            if _DIRECT_CVT:
+            if direct_cvt:
                 return v_i32.astype(x.dtype)
             return v_i32.astype(jnp.float32).astype(x.dtype)
 
@@ -158,9 +167,10 @@ def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("affine", "q_out", "out_dtype_str"))
+                   static_argnames=("affine", "q_out", "out_dtype_str",
+                                    "variant"))
 def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
-                scale_vec=None, right_hb=None):
+                scale_vec=None, right_hb=None, variant=(0, False)):
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
@@ -168,7 +178,8 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
-    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B)
+    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B,
+                          variant)
 
     # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
     # — one (m, TN) accumulator spills once m grows past a few dozen rows
@@ -275,7 +286,7 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
     meta = (qt.decode_affine, qt.q_out, qt.q_in,
             np.dtype(x_perm.dtype).name, qt.codebook_id,
-            float(qt.opt_resid_scale))
+            float(qt.opt_resid_scale), _variant())
     out = _fused_core(meta, x_perm, planes, scale_vec, right_hb)
     return out[:m]
 
@@ -283,8 +294,10 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_core(meta, x_perm, planes, scale_vec, right_hb):
     affine, q_out, q_in, out_dtype_str = meta[:4]
+    variant = meta[6] if len(meta) > 6 else (0, False)
     return _fused_call(x_perm, planes, affine, q_out, out_dtype_str,
-                       scale_vec=scale_vec, right_hb=right_hb)
+                       scale_vec=scale_vec, right_hb=right_hb,
+                       variant=variant)
 
 
 def _fused_core_fwd(meta, x_perm, planes, scale_vec, right_hb):
@@ -296,7 +309,7 @@ def _fused_core_bwd(meta, res, g):
     """Backward via dense decode (the training-grade path): the kernel's
     output equals x_nat @ W^T (parity-tested; the per-element beta is part
     of W, so the rank-1 rowsum correction needs no special casing)."""
-    affine, q_out, q_in, out_dtype_str, cb_id, ors = meta
+    affine, q_out, q_in, out_dtype_str, cb_id, ors = meta[:6]
     x_perm, planes, scale_vec, right_hb = res
     from .dequant_xla import decode_weights
     qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},

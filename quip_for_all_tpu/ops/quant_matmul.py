@@ -26,8 +26,14 @@ from .qtensor import QuantizedTensor
 # 3166 tok/s. The reference's m=32 CUDA threshold is wrong for TPU.
 # Above 1024 rows the per-m-tile plane re-decode is UNMEASURED, so auto
 # falls back to dense there (eval_ppl's S=2048 windows). QFA_FUSED_MAX_M
-# overrides the crossover for the hardware A/B that will settle it.
-_SMALL_M = int(os.environ.get("QFA_FUSED_MAX_M", "1025"))
+# overrides the crossover for the hardware A/B that will settle it —
+# read at TRACE time (a function, not an import-time constant, so one
+# process can A/B both regimes).
+_DEFAULT_MAX_M = 1025
+
+
+def fused_max_m() -> int:
+    return int(os.environ.get("QFA_FUSED_MAX_M", str(_DEFAULT_MAX_M)))
 
 
 def quant_matmul(x: jax.Array, qt: QuantizedTensor,
@@ -35,7 +41,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor,
     """x: (m, q_in) -> (m, q_out)."""
     assert x.shape[-1] == qt.q_in, (x.shape, qt.q_in)
     if impl == "auto":
-        use_pallas = x.shape[0] < _SMALL_M and _pallas_available(qt)
+        use_pallas = x.shape[0] < fused_max_m() and _pallas_available(qt)
         impl = "pallas" if use_pallas else "dequant"
     if impl == "pallas":
         from .dequant_pallas import fused_quant_matmul, supports
