@@ -21,6 +21,10 @@ def main(argv=None):
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--split", default="validation",
                     choices=["train", "validation"])
+    ap.add_argument("--sp", type=int, default=0,
+                    help="shard the sequence dim over this many devices "
+                    "(ring-attention sequence parallelism) — evaluate "
+                    "windows longer than one device's memory")
     args = ap.parse_args(argv)
 
     from ..data.calibration import get_calibration_tokens
@@ -36,7 +40,12 @@ def main(argv=None):
     toks = get_calibration_tokens(args.dataset, tokenizer, args.nsamples,
                                   args.seqlen, split=args.split,
                                   vocab_size=cfg.vocab_size)
-    ppl = perplexity(cfg, params, toks, batch_size=args.batch_size)
+    sp_mesh = None
+    if args.sp > 1:
+        from ..parallel.sequence import make_sp_mesh
+        sp_mesh = make_sp_mesh(args.sp)
+    ppl = perplexity(cfg, params, toks, batch_size=args.batch_size,
+                     sp_mesh=sp_mesh)
     print(json.dumps({"dataset": args.dataset, "seqlen": args.seqlen,
                       "nsamples": args.nsamples,
                       "codebook": qcfg.get("codebook"), "ppl": ppl}))

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--ft-valid-size", type=int, default=128)
     ap.add_argument("--modules-to-not-convert", nargs="*", default=None)
     ap.add_argument("--tp-shards", type=int, default=1)
+    ap.add_argument("--ft-pp", type=int, default=1,
+                    help="pipeline the end-to-end CE finetune over this "
+                    "many devices (models exceeding one chip)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -75,7 +78,7 @@ def main(argv=None):
         ft_epochs=args.ft_epochs, ft_train_size=args.ft_train_size,
         ft_valid_size=args.ft_valid_size,
         modules_to_not_convert=args.modules_to_not_convert,
-        tp_shards=args.tp_shards, seed=args.seed)
+        tp_shards=args.tp_shards, ft_pp=args.ft_pp, seed=args.seed)
 
     total = args.nsamples + (args.ft_train_size + args.ft_valid_size
                              if args.ft_epochs > 0 else 0)

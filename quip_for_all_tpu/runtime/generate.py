@@ -224,15 +224,24 @@ def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,
 
 def perplexity(cfg: ModelConfig, params: Dict[str, Any],
                token_windows: np.ndarray, batch_size: int = 1,
-               dtype=jnp.float32) -> float:
+               dtype=jnp.float32, sp_mesh=None) -> float:
     """Sliding-window perplexity over (N, S) token windows — the eval the
     reference defers to the quip-sharp blog (README.md:18); first-class here
-    because quality parity is a north-star metric (BASELINE.md)."""
+    because quality parity is a north-star metric (BASELINE.md).
+
+    ``sp_mesh``: an ("sp",) mesh routes the forward through ring-attention
+    sequence parallelism (parallel/sequence.py) — windows longer than one
+    device's activation memory evaluate sharded, exactly."""
     A = get_arch(cfg)
 
     @jax.jit
     def nll(batch):
-        logits, _ = A.model_apply(cfg, params, batch, dtype=dtype)
+        if sp_mesh is not None:
+            from ..parallel.sequence import sequence_parallel_logits
+            logits = sequence_parallel_logits(cfg, params, batch, sp_mesh,
+                                              dtype=dtype)
+        else:
+            logits, _ = A.model_apply(cfg, params, batch, dtype=dtype)
         logp = jax.nn.log_softmax(logits[:, :-1, :].astype(jnp.float32),
                                   axis=-1)
         tgt = batch[:, 1:]
