@@ -206,6 +206,8 @@ def main():
                     "prompt instead of decode")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "dequant", "pallas"])
+    ap.add_argument("--kv-quantized", action="store_true",
+                    help="int8 KV cache (half the attention HBM reads)")
     ap.add_argument("--dense-head", action="store_true",
                     help="keep lm_head dense bf16 (default: quantized, "
                     "the framework's serving config — saves ~0.2 ms/token)")
@@ -262,7 +264,8 @@ def main():
           f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)
 
     B = args.batch
-    caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16)
+    caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
+                            quantized=args.kv_quantized)
     linear_kw = {"matmul_impl": args.impl}
     from quip_for_all_tpu.runtime.generate import attn_bucket
 
@@ -397,7 +400,7 @@ def main():
     metric = (f"decode_tokens_per_sec_{name}_{args.codebook.lower()}"
               f"_bs{B}")
     print(json.dumps({
-        "metric": metric,
+        "metric": metric + ("_kvq8" if args.kv_quantized else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),

@@ -29,6 +29,9 @@ def main(argv=None):
                     help="print tokens as they decode (chunked scans; "
                     "parity with the reference's callback streaming)")
     ap.add_argument("--stream-chunk", type=int, default=8)
+    ap.add_argument("--kv-quantized", action="store_true",
+                    help="int8 KV cache: half the attention HBM reads "
+                    "and cache memory")
     args = ap.parse_args(argv)
 
     import jax
@@ -62,7 +65,8 @@ def main(argv=None):
                 cfg, params, jnp.asarray(ids), args.max_new_tokens,
                 chunk=args.stream_chunk, key=jax.random.PRNGKey(args.seed),
                 temperature=args.temperature, top_k=args.top_k,
-                cache_len=args.cache_len, dtype_str=args.dtype):
+                cache_len=args.cache_len, dtype_str=args.dtype,
+                   kv_quantized=args.kv_quantized):
             pieces.append(chunk)
             if tok is not None:
                 print(tok.decode(chunk[0].tolist()), end="", flush=True)
@@ -94,7 +98,8 @@ def main(argv=None):
                               key=jax.random.PRNGKey(args.seed + 1),
                               temperature=args.temperature,
                               top_k=args.top_k, cache_len=args.cache_len,
-                              dtype_str=args.dtype))
+                              dtype_str=args.dtype,
+                              kv_quantized=args.kv_quantized))
     dt = time.time() - t0
     print(f"throughput: {n_new / dt:.1f} tokens/s", file=sys.stderr)
 

@@ -131,7 +131,8 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids,
         if kv_caches is None:
             attn_mask = causal_mask(S, S)
         else:
-            attn_mask = cache_mask(positions, kv_caches[0][0].shape[1])
+            from .common import kv_len
+            attn_mask = cache_mask(positions, kv_len(kv_caches[0][0]))
     new_caches = [] if kv_caches is not None else None
     for i in range(cfg.num_hidden_layers):
         cache_i = kv_caches[i] if kv_caches is not None else None

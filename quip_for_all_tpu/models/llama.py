@@ -111,19 +111,11 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
     q, k = apply_rope(q, k, cos, sin)
 
     if kv_cache is not None:
-        ck, cv = kv_cache  # (B, S_max, KV, hd)
+        from .common import write_kv
+        ck, cv = kv_cache  # (B, S_max, KV, hd) arrays or QuantKVCache
         cp = jnp.asarray(cache_position)
-        if cp.ndim == 0:   # shared write position (single-sequence decode)
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k.astype(ck.dtype), cp, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v.astype(cv.dtype), cp, axis=1)
-        else:              # per-slot positions (continuous batching)
-            upd = jax.vmap(
-                lambda c, kk, p: jax.lax.dynamic_update_slice_in_dim(
-                    c, kk, p, axis=0))
-            ck = upd(ck, k.astype(ck.dtype), cp)
-            cv = upd(cv, v.astype(cv.dtype), cp)
+        ck = write_kv(ck, k, cp)
+        cv = write_kv(cv, v, cp)
         k, v = ck, cv
         new_cache = (ck, cv)
     else:
@@ -135,7 +127,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
         # (see models/common.py sdpa_cache_layout).
         return sdpa_cache_layout(q, k, v, attn_mask, x.dtype)
 
-    T = k.shape[1]
+    from .common import kv_dyn_slice, kv_len, kv_window
+    T = kv_len(k) if kv_cache is not None else k.shape[1]
     if kv_cache is not None and attn_window is not None:
         # static prefix window (caller guarantees every query position is
         # < attn_window): no lax.switch at all — the per-layer conditional
@@ -143,7 +136,7 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
         # 32 layers. generate() segments its decode scan at the statically
         # known bucket boundaries so each segment lands here.
         W = min(attn_window, T)
-        ctx = _sdpa(k[:, :W], v[:, :W], attn_mask[..., :W])
+        ctx = _sdpa(kv_window(k, W), kv_window(v, W), attn_mask[..., :W])
     elif (kv_cache is not None and S == 1 and T >= 512):
         # bucketed decode attention: only read the cache prefix that can be
         # attended to (a lax.switch over static prefix lengths) — a full
@@ -155,8 +148,8 @@ def attention(cfg: ModelConfig, attn_p: Params, x: jax.Array,
 
         def branch(tb):
             def f(_):
-                kb = jax.lax.dynamic_slice_in_dim(k, 0, tb, axis=1)
-                vb = jax.lax.dynamic_slice_in_dim(v, 0, tb, axis=1)
+                kb = kv_dyn_slice(k, 0, tb)
+                vb = kv_dyn_slice(v, 0, tb)
                 mb = jax.lax.dynamic_slice_in_dim(attn_mask, 0, tb, axis=3)
                 c = _sdpa(kb, vb, mb)
                 return c
@@ -292,8 +285,8 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids: jax.Array,
         if kv_caches is None:
             attn_mask = causal_mask(S, S)
         else:
-            T = kv_caches[0][0].shape[1]
-            attn_mask = cache_mask(positions, T)
+            from .common import kv_len
+            attn_mask = cache_mask(positions, kv_len(kv_caches[0][0]))
     new_caches = [] if kv_caches is not None else None
     for i in range(cfg.num_hidden_layers):
         cache_i = kv_caches[i] if kv_caches is not None else None

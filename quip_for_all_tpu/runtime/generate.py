@@ -21,13 +21,22 @@ from ..models.registry import get_arch
 
 
 def init_kv_caches(cfg: ModelConfig, batch: int, max_len: int,
-                   dtype=jnp.bfloat16) -> List[Tuple[jax.Array, jax.Array]]:
+                   dtype=jnp.bfloat16, quantized: bool = False
+                   ) -> List[Tuple[Any, Any]]:
+    """Static KV caches; ``quantized=True`` stores int8 codes + per-
+    position f32 scales (models/common.py QuantKVCache) — half the
+    attention HBM traffic and cache memory of bf16."""
     KV, hd = cfg.num_key_value_heads, cfg.head_dim
-    return [
-        (jnp.zeros((batch, max_len, KV, hd), dtype),
-         jnp.zeros((batch, max_len, KV, hd), dtype))
-        for _ in range(cfg.num_hidden_layers)
-    ]
+
+    def slab():
+        if quantized:
+            from ..models.common import QuantKVCache
+            return QuantKVCache(
+                jnp.zeros((batch, max_len, KV, hd), jnp.int8),
+                jnp.zeros((batch, max_len, KV, 1), jnp.float32))
+        return jnp.zeros((batch, max_len, KV, hd), dtype)
+
+    return [(slab(), slab()) for _ in range(cfg.num_hidden_layers)]
 
 
 def sample_token(logits: jax.Array, key, temperature: float, top_k: int
@@ -48,14 +57,15 @@ def sample_token(logits: jax.Array, key, temperature: float, top_k: int
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k",
-                     "cache_len", "dtype_str"))
+                     "cache_len", "dtype_str", "kv_quantized"))
 def generate(cfg: ModelConfig, params: Dict[str, Any],
              prompt_ids: jax.Array, max_new_tokens: int,
              key: Optional[jax.Array] = None,
              temperature: float = 0.0, top_k: int = 0,
-             cache_len: int = 2048, dtype_str: str = "bfloat16"
-             ) -> jax.Array:
-    """prompt_ids (B, S) -> (B, S + max_new_tokens) generated ids."""
+             cache_len: int = 2048, dtype_str: str = "bfloat16",
+             kv_quantized: bool = False) -> jax.Array:
+    """prompt_ids (B, S) -> (B, S + max_new_tokens) generated ids.
+    ``kv_quantized``: int8 KV cache (half the attention HBM reads)."""
     dtype = np.dtype(dtype_str)
     B, S = prompt_ids.shape
     assert S + max_new_tokens <= cache_len, (
@@ -63,7 +73,8 @@ def generate(cfg: ModelConfig, params: Dict[str, Any],
         f"cache_len ({cache_len}) — writes would silently clamp")
     if key is None:
         key = jax.random.PRNGKey(0)
-    caches = init_kv_caches(cfg, B, cache_len, dtype)
+    caches = init_kv_caches(cfg, B, cache_len, dtype,
+                            quantized=kv_quantized)
     A = get_arch(cfg)
     import inspect
     windowed = "attn_window" in inspect.signature(A.model_apply).parameters
@@ -123,7 +134,8 @@ def generate_stream(cfg: ModelConfig, params: Dict[str, Any],
                     chunk: int = 8,
                     key: Optional[jax.Array] = None,
                     temperature: float = 0.0, top_k: int = 0,
-                    cache_len: int = 2048, dtype_str: str = "bfloat16"):
+                    cache_len: int = 2048, dtype_str: str = "bfloat16",
+                    kv_quantized: bool = False):
     """Streaming decode: yields np.int32 arrays of shape (B, <=chunk) as
     tokens are produced (parity: the reference's callback streaming at
     ``example_generate.py:36-56``, which buffers 4 tokens per callback).
@@ -148,7 +160,8 @@ def generate_stream(cfg: ModelConfig, params: Dict[str, Any],
             return {}
         return {"attn_window": attn_bucket(need, cache_len)}
 
-    caches = init_kv_caches(cfg, B, cache_len, dtype)
+    caches = init_kv_caches(cfg, B, cache_len, dtype,
+                            quantized=kv_quantized)
     positions = jnp.arange(S)[None, :].repeat(B, 0)
     logits, caches = A.model_apply(
         cfg, params, prompt_ids, positions=positions, kv_caches=caches,

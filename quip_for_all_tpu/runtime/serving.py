@@ -56,7 +56,7 @@ class ServingEngine:
                  prefill_chunk: Optional[int] = None,
                  decode_chunk: int = 8,
                  seed: int = 0, mesh=None,
-                 on_token=None):
+                 on_token=None, kv_quantized: bool = False):
         """``on_token(rid, token, done)`` — optional streaming callback,
         invoked in emission order for every generated token (including the
         first, sampled at admission) with ``done=True`` on a request's
@@ -88,8 +88,7 @@ class ServingEngine:
         self.decode_chunk = max(1, int(decode_chunk))
         KV, hd = cfg.num_key_value_heads, cfg.head_dim
 
-        def _kv(shape):
-            z = jnp.zeros(shape, dtype)
+        def _put(z):
             if mesh is not None:
                 # caches shard on kv heads only (slots stay addressable)
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -97,6 +96,16 @@ class ServingEngine:
                     mesh, P(None, None, "tp" if KV % mesh.shape["tp"] == 0
                             else None, None)))
             return z
+
+        def _kv(shape):
+            if kv_quantized:
+                # int8 codes + per-position scales: half the attention HBM
+                # reads and cache memory (models/common.py QuantKVCache)
+                from ..models.common import QuantKVCache
+                return QuantKVCache(
+                    _put(jnp.zeros(shape, jnp.int8)),
+                    _put(jnp.zeros((*shape[:3], 1), jnp.float32)))
+            return _put(jnp.zeros(shape, dtype))
 
         # + C scratch slots at the tail: idle rows park their pad chunks at
         # position S during admissions (never attended, never clamped back

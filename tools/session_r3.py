@@ -94,7 +94,8 @@ def phase_decode_ab():
                    env={"QFA_F32_SMALL_M": "32"})
     v2 = run_bench("decode_e8p12_directcvt", [],
                    env={"QFA_DIRECT_CVT": "1"})
-    vals = {"base": base, "f32smallm": v1, "directcvt": v2}
+    v3 = run_bench("decode_e8p12_kvq8", ["--kv-quantized"])
+    vals = {"base": base, "f32smallm": v1, "directcvt": v2, "kvq8": v3}
     best = max((v["value"], k) for k, v in vals.items() if v)
     record("decode_ab_summary", {"best": best[1], "value": best[0]})
 
