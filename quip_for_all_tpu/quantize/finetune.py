@@ -151,8 +151,9 @@ def finetune_block(cfg, blk: Any, batches_in: List[np.ndarray],
     def valid_loss(flat):
         if not valid_in:
             return float("inf")
-        return float(np.mean([eval_loss(flat, jnp.asarray(a),
-                                        jnp.asarray(b))
+        return float(np.mean([eval_loss(flat,
+                                        jnp.asarray(a, jnp.float32),
+                                        jnp.asarray(b, jnp.float32))
                               for a, b in zip(valid_in, valid_out)]))
 
     best = valid_loss(flat)
@@ -161,7 +162,8 @@ def finetune_block(cfg, blk: Any, batches_in: List[np.ndarray],
     for epoch in range(epochs):
         for a, b in zip(train_in, train_out):
             flat, opt_state, _ = train_step(flat, opt_state,
-                                            jnp.asarray(a), jnp.asarray(b))
+                                            jnp.asarray(a, jnp.float32),
+                                            jnp.asarray(b, jnp.float32))
         cur = valid_loss(flat)
         if cur < best:
             best, best_flat, worse = cur, flat, 0

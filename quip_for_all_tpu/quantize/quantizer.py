@@ -200,6 +200,12 @@ class QuipQuantizer:
     # quantize the output head too (the reference leaves it fp16; at bs=1
     # decode the dense head costs a full vocab*hidden read per token)
     quantize_lm_head: bool = False
+    # store inter-block calibration activations as fp16 on host — halves
+    # the dominant quantization-time memory (the reference needs
+    # 500-750GB CPU RAM at nsamples=4096, README.md:38; its torch model
+    # runs in fp16 so its activations carry the same rounding). Hessian
+    # accumulation is f32-Kahan either way (quantize/hessian.py).
+    calib_act_fp16: bool = True
     seed: int = 0
 
     def __post_init__(self):
@@ -364,12 +370,21 @@ class QuipQuantizer:
         n_valid = max(1, self.ft_valid_size // self.batch_size) \
             if n_ft > 0 else 0
 
+        act_dt = np.float16 if self.calib_act_fp16 else None
+        def host(a):
+            a = np.asarray(a)
+            return a.astype(act_dt) if act_dt is not None else a
         embed = jax.jit(lambda ids: R.embed(cfg, params, ids, positions,
                                             dtype))
-        layer_inputs = [np.asarray(embed(b)) for b in batches]
+        layer_inputs = [host(embed(b)) for b in batches]
 
         groups = sublayer_groups(cfg)
         cap_keys = sorted({g["capture"] for g in groups})
+
+        def _dev(x):
+            # stored-fp16 activations upcast on device: compute precision
+            # stays `dtype`; only HOST storage is halved
+            return jnp.asarray(x, dtype=dtype)
 
         block_fwd = jax.jit(
             lambda blk, x: ARCH.block_apply(cfg, blk, x, cos, sin,
@@ -392,7 +407,7 @@ class QuipQuantizer:
 
             if resume_dir and i <= done_upto:
                 # replay float forward only, then swap in the saved block
-                layer_inputs = [np.asarray(plain_fwd(blk, jnp.asarray(x)))
+                layer_inputs = [host(plain_fwd(blk, _dev(x)))
                                 for x in layer_inputs]
                 with open(os.path.join(resume_dir, f"block_{i}.pkl"),
                           "rb") as f:
@@ -409,8 +424,8 @@ class QuipQuantizer:
             hs: Dict[str, hessian.HessianState] = {}
             outputs = []
             for bi, x_in in enumerate(layer_inputs):
-                y, _, caps = block_fwd(blk, jnp.asarray(x_in))
-                outputs.append(np.asarray(y))
+                y, _, caps = block_fwd(blk, _dev(x_in))
+                outputs.append(host(y))
                 if bi >= n_hess:
                     continue
                 for key in cap_keys:
@@ -543,7 +558,8 @@ class QuipQuantizer:
             float_head = params[head_key]
             hst = hessian.HessianState.zeros(cfg.hidden_size)
             norm_fn = jax.jit(
-                lambda x: R.final_hidden(cfg, params, jnp.asarray(x)))
+                lambda x: R.final_hidden(cfg, params,
+                         jnp.asarray(x, jnp.float32)))
             for x in layer_inputs[:n_hess]:
                 hst = hessian.accumulate(hst, norm_fn(x))
             H = np.asarray(hessian.finalize(hst))
@@ -577,7 +593,8 @@ class QuipQuantizer:
 
         @jax.jit
         def head_probs(x):
-            h = R.final_hidden(cfg, params, jnp.asarray(x))
+            h = R.final_hidden(cfg, params,
+                               jnp.asarray(x, jnp.float32))
             if float_head is not None:
                 logits = linear_apply(float_head, h)
             else:
