@@ -56,9 +56,20 @@ def _variant() -> tuple:
       way, so results are bit-identical. 0 = off (round-2 behavior).
     QFA_DIRECT_CVT=1 — convert nibbles int32 -> bf16 in ONE astype
       instead of via f32 (saves a VPU convert if Mosaic lowers it).
+    QFA_MAGIC_SMALL_M=N — at m <= N, build f32 nibbles without an
+      int->float convert: OR the nibble into the mantissa of 2^23
+      (0x4B000000), bitcast to f32, subtract 2^23.0 — exact for ints
+      < 2^24 (the CUDA kernels' trick, origin_order.cu decode8weights).
+      {or, bitcast, sub} replaces the cvt; a win iff the VPU's
+      int->float convert has worse throughput than two ALU ops. Dots
+      run in f32 (fine at decode m). NOTE: the offset must be removed
+      PER ELEMENT — folding it through the 512-term dot into the beta
+      correction loses the signal to f32 cancellation (measured rel
+      err 0.65).
     """
     return (int(os.environ.get("QFA_F32_SMALL_M", "0")),
-            os.environ.get("QFA_DIRECT_CVT", "0") == "1")
+            os.environ.get("QFA_DIRECT_CVT", "0") == "1",
+            int(os.environ.get("QFA_MAGIC_SMALL_M", "0")))
 
 
 def _nibble(w_i32, i: int):
@@ -75,8 +86,8 @@ def _nibble(w_i32, i: int):
 
 
 def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
-                 right_b: int, variant=(0, False)):
-    f32_small_m, direct_cvt = variant
+                 right_b: int, variant=(0, False, 0)):
+    f32_small_m, direct_cvt, magic_small_m = (tuple(variant) + (0,))[:3]
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
@@ -94,10 +105,16 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
         # pure overhead; accumulation stays f32 via preferred_element_type
         x = x_ref[...]                                 # (m, 8G)
-        if f32_small_m and x.shape[0] <= f32_small_m:
+        magic = bool(magic_small_m and x.shape[0] <= magic_small_m)
+        if magic or (f32_small_m and x.shape[0] <= f32_small_m):
             x = x.astype(jnp.float32)                  # tiny; dots in f32
 
         def cvt(v_i32):
+            if magic:
+                # (2^23 | nib) bitcast to f32 == 2^23 + nib exactly; the
+                # subtraction restores nib exactly (ints < 2^24 in f32)
+                return pltpu.bitcast(v_i32 | 0x4B000000,
+                                     jnp.float32) - float(1 << 23)
             if x.dtype == jnp.float32:
                 return v_i32.astype(jnp.float32)
             if direct_cvt:

@@ -95,7 +95,10 @@ def phase_decode_ab():
     v2 = run_bench("decode_e8p12_directcvt", [],
                    env={"QFA_DIRECT_CVT": "1"})
     v3 = run_bench("decode_e8p12_kvq8", ["--kv-quantized"])
-    vals = {"base": base, "f32smallm": v1, "directcvt": v2, "kvq8": v3}
+    v4 = run_bench("decode_e8p12_magic", [],
+                   env={"QFA_MAGIC_SMALL_M": "32"})
+    vals = {"base": base, "f32smallm": v1, "directcvt": v2, "kvq8": v3,
+            "magic": v4}
     best = max((v["value"], k) for k, v in vals.items() if v)
     record("decode_ab_summary", {"best": best[1], "value": best[0]})
 
