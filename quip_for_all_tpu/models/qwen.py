@@ -42,8 +42,13 @@ def mlp_apply(mlp_p: Params, x: jax.Array, linear_kw: dict,
               captures: Optional[dict]) -> jax.Array:
     if captures is not None:
         captures["fc1"] = x
-    a1 = linear_apply(mlp_p["w1"], x, **linear_kw)     # up
-    a2 = linear_apply(mlp_p["w2"], x, **linear_kw)     # gate
+    if "w12_proj" in mlp_p:      # fused single-launch decode (inference)
+        from ..nn.qlinear import fused_apply
+        a1, a2 = fused_apply(mlp_p["w12_proj"], x, **{
+            k_: v_ for k_, v_ in linear_kw.items() if k_ != "training"})
+    else:
+        a1 = linear_apply(mlp_p["w1"], x, **linear_kw)     # up
+        a2 = linear_apply(mlp_p["w2"], x, **linear_kw)     # gate
     h = a1 * jax.nn.silu(a2)
     if captures is not None:
         captures["fc2"] = h
@@ -105,11 +110,44 @@ def model_apply(cfg: ModelConfig, params: Params, input_ids: jax.Array,
 
 def fuse_for_inference(cfg: ModelConfig, params: Params,
                        release_originals: bool = False) -> Params:
-    """c_attn is already one fused launch; nothing to fuse (w1/w2 share an
-    input but NOT a left transform group by default — they are one capture
-    group, so share_group_transforms does give them a shared SU and they
-    could fuse; kept simple until a qwen perf target exists)."""
-    return params
+    """c_attn is already one fused launch; w1/w2 are one capture group
+    (shared SU + left transform under share_group_transforms), so they
+    fuse into a single decode+matmul launch like llama's gate/up."""
+    from ..models.llama import fuse_for_inference as _lf  # noqa: F401
+    from ..nn.qlinear import QuantLinearParams, fuse_qlinears
+
+    def sharable(ps):
+        if not all(isinstance(p, QuantLinearParams) for p in ps):
+            return False
+        p0 = ps[0]
+        for p in ps[1:]:
+            if p.q_in != p0.q_in or p.K_left != p0.K_left or \
+                    p.shards_left != p0.shards_left:
+                return False
+            for a, b in ((p.SU, p0.SU), (p.had_left, p0.had_left)):
+                if (a is None) != (b is None):
+                    return False
+                if a is not None and not np.array_equal(np.asarray(a),
+                                                        np.asarray(b)):
+                    return False
+        return True
+
+    out_layers = []
+    for src in params["layers"]:
+        blk = dict(src)
+        mlp = dict(blk["mlp"])
+        duo = [mlp.get("w1"), mlp.get("w2")]
+        if sharable(duo):
+            mlp["w12_proj"] = fuse_qlinears(duo)
+            del mlp["w1"], mlp["w2"]
+            if release_originals:
+                src["mlp"].pop("w1", None)
+                src["mlp"].pop("w2", None)
+            blk["mlp"] = mlp
+        out_layers.append(blk)
+    out = dict(params)
+    out["layers"] = out_layers
+    return out
 
 
 def init_qwen_params(cfg: ModelConfig, seed: int = 0,

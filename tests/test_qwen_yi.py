@@ -202,3 +202,29 @@ def test_yi_ln_alias_import(tmp_path):
     l2, _ = L.model_apply(cfg2, p2, ids)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_qwen_fuse_for_inference_and_serving():
+    """w1/w2 fuse into one decode launch (shared group transforms) with
+    identical logits, and the serving engine runs the qwen family."""
+    cfg = _tiny_qwen()
+    calib = synthetic_tokens(16, 24, cfg.vocab_size, seed=1)
+    q = QuipQuantizer(codebook="E8P12", nsamples=16, batch_size=4,
+                      quip_tune_iters=0, ft_epochs=0)
+    qp = q.quantize_model(cfg, QW.init_qwen_params(cfg, seed=0), calib)
+    ids = jnp.asarray(synthetic_tokens(2, 12, cfg.vocab_size, 3))
+    kw = {"compute_dtype": jnp.float32}
+    ref, _ = QW.model_apply(cfg, qp, ids, linear_kw=kw)
+    fp = QW.fuse_for_inference(cfg, qp)
+    assert "w12_proj" in fp["layers"][0]["mlp"]
+    out, _ = QW.model_apply(cfg, fp, ids, linear_kw=kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    from quip_for_all_tpu.runtime.serving import ServingEngine
+    eng = ServingEngine(cfg, qp, max_batch=2, cache_len=64,
+                        dtype=jnp.float32, prefill_chunk=8)
+    rid = eng.add_request(np.array([1, 2, 3], dtype=np.int32),
+                          max_new_tokens=5)
+    res = eng.run(max_steps=50)
+    assert res[rid].shape[0] == 8
