@@ -121,6 +121,13 @@ def supervise(argv) -> int:
         else:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--_child"] + argv
+            # probe bit-exact kernel variants by default on the real
+            # chip (token-equality-gated; base result always kept);
+            # disable with QFA_BENCH_AUTO_VARIANT=0
+            if ("--auto-variant" not in argv and "--prefill" not in
+                    " ".join(argv) and os.environ.get(
+                        "QFA_BENCH_AUTO_VARIANT", "1") == "1"):
+                cmd.append("--auto-variant")
         print(f"# bench attempt {attempt}/{max_attempts} "
               f"({remaining():.0f}s budget left)", file=sys.stderr)
         timed_out = False
@@ -208,6 +215,10 @@ def main():
                     choices=["auto", "dequant", "pallas"])
     ap.add_argument("--kv-quantized", action="store_true",
                     help="int8 KV cache (half the attention HBM reads)")
+    ap.add_argument("--auto-variant", action="store_true",
+                    help="after the base decode measurement, probe the "
+                    "bit-exact kernel variants and report the fastest "
+                    "whose greedy tokens match the base run exactly")
     ap.add_argument("--dense-head", action="store_true",
                     help="keep lm_head dense bf16 (default: quantized, "
                     "the framework's serving config — saves ~0.2 ms/token)")
@@ -264,14 +275,15 @@ def main():
           f"fused) in {time.time()-t0:.1f}s", file=sys.stderr)
 
     B = args.batch
-    caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
-                            quantized=args.kv_quantized)
     linear_kw = {"matmul_impl": args.impl}
     from quip_for_all_tpu.runtime.generate import attn_bucket
 
     if args.prefill:
         # prefill throughput: one full forward over (B, S) writing the
         # cache; --impl pallas/dequant switches the m>=... regime under test
+        caches = init_kv_caches(cfg, B, args.cache_len,
+                                dtype=jnp.bfloat16,
+                                quantized=args.kv_quantized)
         S = args.prefill
         ids = jnp.asarray(
             (np.arange(B * S).reshape(B, S) * 13) % cfg.vocab_size,
@@ -340,71 +352,116 @@ def main():
     ends = [start + args.tokens * (i + 1) for i in range(max_win)
             if start + args.tokens * (i + 1) + 16 <= args.cache_len]
     buckets = sorted({attn_bucket(e, args.cache_len) for e in ends})
-
-    tok = jnp.full((B,), 7, dtype=jnp.int32)
-    pos = jnp.full((B,), start, dtype=jnp.int32)
-
-    t0 = time.time()
-    compiled = {}
-    for w in buckets:
-        f = jax.jit(functools.partial(decode_many, n=args.tokens,
-                                      attn_window=w),
-                    donate_argnums=(1,))
-        compiled[w] = f.lower(params, caches, tok, pos).compile()
-    print(f"# AOT-compiled buckets {buckets} in {time.time()-t0:.1f}s",
-          file=sys.stderr)
-
-    def run_window(caches, pos, end):
-        return compiled[attn_bucket(end, args.cache_len)](
-            params, caches, tok, pos)
-
-    # NOTE: block_until_ready is unreliable over the experimental remote
-    # backend; np.asarray forces a real device->host fetch of the produced
-    # tokens, which cannot complete before the computation does.
-    t0 = time.time()
-    caches, toks = run_window(caches, pos, ends[0])
-    _ = np.asarray(toks)
-    print(f"# first window: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # the remote worker also reads ~20-50% low for the first windows after
-    # a large param transfer (measured: 69.8 -> 137 tok/s within 3
-    # windows): `warmup` extra untimed windows beyond the per-program ones
     assert len(ends) >= 2, "cache too short for even one timed window"
-    warm_left = min(warmup, max(0, len(ends) - 1 - reps - 2))
-    ran = {attn_bucket(ends[0], args.cache_len)}
-    windows = []
-    for e in ends[1:]:
-        if len(windows) >= reps:
-            break
-        pos = pos + args.tokens
-        b = attn_bucket(e, args.cache_len)
-        first_of_bucket = b not in ran
-        ran.add(b)
+
+    def run_protocol(tag: str):
+        """One full measurement pass (fresh caches; AOT compile; first-
+        window + warm discards; median of timed windows). Returns
+        (tokens/s, all generated tokens in window order) — the token
+        stream doubles as a bit-exactness witness for variant probing."""
+        caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
+                                quantized=args.kv_quantized)
+        tok = jnp.full((B,), 7, dtype=jnp.int32)
+        pos = jnp.full((B,), start, dtype=jnp.int32)
         t0 = time.time()
-        caches, toks = run_window(caches, pos, e)
-        _ = np.asarray(toks)
-        if (first_of_bucket or warm_left > 0) and e != ends[-1]:
-            warm_left -= 0 if first_of_bucket else 1
-            continue
-        windows.append(time.time() - t0)
-    assert windows, "no timed windows (cache too short for the protocol)"
-    if len(windows) < reps:
-        print(f"# WARNING: only {len(windows)}/{reps} timed windows fit",
+        compiled = {}
+        for w in buckets:
+            f = jax.jit(functools.partial(decode_many, n=args.tokens,
+                                          attn_window=w),
+                        donate_argnums=(1,))
+            compiled[w] = f.lower(params, caches, tok, pos).compile()
+        print(f"# [{tag}] AOT-compiled buckets {buckets} in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+        def run_window(caches, pos, end):
+            return compiled[attn_bucket(end, args.cache_len)](
+                params, caches, tok, pos)
+
+        # NOTE: block_until_ready is unreliable over the experimental
+        # remote backend; np.asarray forces a real device->host fetch of
+        # the produced tokens, which cannot complete before the
+        # computation does.
+        all_toks = []
+        t0 = time.time()
+        caches, toks = run_window(caches, pos, ends[0])
+        all_toks.append(np.asarray(toks))
+        print(f"# [{tag}] first window: {time.time()-t0:.1f}s",
               file=sys.stderr)
-    dt = float(np.median(windows))
-    tps = args.tokens * B / dt
-    print(f"# median of {len(windows)} windows: {args.tokens} tokens in {dt:.3f}s "
-          f"(windows: {[round(args.tokens * B / w, 1) for w in windows]})",
-          file=sys.stderr)
+
+        # the remote worker also reads ~20-50% low for the first windows
+        # after a large param transfer (measured: 69.8 -> 137 tok/s within
+        # 3 windows): `warmup` extra untimed windows beyond per-program
+        warm_left = min(warmup, max(0, len(ends) - 1 - reps - 2))
+        ran = {attn_bucket(ends[0], args.cache_len)}
+        windows = []
+        for e in ends[1:]:
+            if len(windows) >= reps:
+                break
+            pos = pos + args.tokens
+            b = attn_bucket(e, args.cache_len)
+            first_of_bucket = b not in ran
+            ran.add(b)
+            t0 = time.time()
+            caches, toks = run_window(caches, pos, e)
+            all_toks.append(np.asarray(toks))
+            if (first_of_bucket or warm_left > 0) and e != ends[-1]:
+                warm_left -= 0 if first_of_bucket else 1
+                continue
+            windows.append(time.time() - t0)
+        assert windows, "no timed windows (cache too short for protocol)"
+        if len(windows) < reps:
+            print(f"# WARNING: only {len(windows)}/{reps} timed windows",
+                  file=sys.stderr)
+        dt = float(np.median(windows))
+        tps = args.tokens * B / dt
+        print(f"# [{tag}] median of {len(windows)} windows: {args.tokens} "
+              f"tokens in {dt:.3f}s (windows: "
+              f"{[round(args.tokens * B / w, 1) for w in windows]})",
+              file=sys.stderr)
+        return tps, np.concatenate(all_toks, axis=0)
+
+    tps, base_toks = run_protocol("base")
+    chosen = "base"
+
+    if args.auto_variant:
+        # probe bit-exact-intent kernel variants; accept one only if its
+        # greedy token stream MATCHES the base run exactly (a runtime
+        # correctness witness — interpret-mode parity can't catch Mosaic
+        # lowering bugs) AND it is faster. Any probe failure leaves the
+        # base result untouched.
+        for vname, venv in (("magic32", {"QFA_MAGIC_SMALL_M": "32"}),
+                            ("f32sm32", {"QFA_F32_SMALL_M": "32"}),
+                            ("directcvt", {"QFA_DIRECT_CVT": "1"})):
+            saved = {k: os.environ.get(k) for k in venv}
+            try:
+                os.environ.update(venv)
+                vtps, vtoks = run_protocol(vname)
+                exact = np.array_equal(vtoks, base_toks)
+                print(f"# variant {vname}: {vtps:.2f} tok/s, "
+                      f"bit-exact={exact}", file=sys.stderr)
+                if exact and vtps > tps:
+                    tps, chosen = vtps, vname
+            except Exception as e:  # noqa: BLE001 — keep the base result
+                print(f"# variant {vname} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
     metric = (f"decode_tokens_per_sec_{name}_{args.codebook.lower()}"
               f"_bs{B}")
-    print(json.dumps({
+    result = {
         "metric": metric + ("_kvq8" if args.kv_quantized else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
-    }))
+    }
+    if chosen != "base":
+        result["kernel_variant"] = chosen
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
