@@ -146,16 +146,30 @@ def supervise(argv) -> int:
         if err:
             sys.stderr.write(err if len(err) < 8000 else
                              err[:2000] + "\n...[truncated]...\n" + err[-6000:])
-        if rc == 0:
-            for line in reversed(out.strip().splitlines()):
+        def last_result(text):
+            for line in reversed(text.strip().splitlines()):
                 try:
                     parsed = json.loads(line)
                 except (json.JSONDecodeError, ValueError):
                     continue
-                if isinstance(parsed, dict) and "metric" in parsed:
-                    print(line)
-                    return 0
+                if isinstance(parsed, dict) and "metric" in parsed \
+                        and parsed.get("value") is not None:
+                    return line
+            return None
+
+        if rc == 0:
+            line = last_result(out)
+            if line is not None:
+                print(line)
+                return 0
             errors.append("rc=0 but no JSON result line")
+        elif (line := last_result(out)) is not None:
+            # the child died mid-probe but the base measurement landed:
+            # salvage it rather than losing the round's number
+            print("# child failed after a provisional result — using it",
+                  file=sys.stderr)
+            print(line)
+            return 0
         elif timed_out:
             # a killed TPU client can wedge the relay for 10-30 min: take
             # a long mandatory rest before touching the chip again
@@ -423,7 +437,17 @@ def main():
     tps, base_toks = run_protocol("base")
     chosen = "base"
 
+    metric = (f"decode_tokens_per_sec_{name}_{args.codebook.lower()}"
+              f"_bs{B}") + ("_kvq8" if args.kv_quantized else "")
+
     if args.auto_variant:
+        # provisional result NOW: if a variant probe hangs or crashes the
+        # process, the supervisor salvages this line instead of losing
+        # the whole measurement
+        print(json.dumps({
+            "metric": metric, "value": round(tps, 2), "unit": "tokens/s",
+            "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
+            "provisional": True}), flush=True)
         # probe bit-exact-intent kernel variants; accept one only if its
         # greedy token stream MATCHES the base run exactly (a runtime
         # correctness witness — interpret-mode parity can't catch Mosaic
@@ -451,10 +475,8 @@ def main():
                     else:
                         os.environ[k] = v
 
-    metric = (f"decode_tokens_per_sec_{name}_{args.codebook.lower()}"
-              f"_bs{B}")
     result = {
-        "metric": metric + ("_kvq8" if args.kv_quantized else ""),
+        "metric": metric,
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),

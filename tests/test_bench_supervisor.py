@@ -87,3 +87,17 @@ def test_rc0_without_json_is_a_failure(tmp_path):
     assert r.returncode == 1
     parsed = json.loads(r.stdout.strip().splitlines()[-1])
     assert parsed["value"] is None
+
+
+def test_provisional_result_salvaged_from_failed_child(tmp_path):
+    """A child that lands a provisional measurement then dies mid-probe
+    must still produce the round's number (rc=0, provisional value)."""
+    child = _fake_child(tmp_path, """
+echo '{"metric": "m", "value": 141.5, "unit": "tokens/s", "provisional": true}'
+echo "variant probe crashed the remote compiler" >&2
+exit 1
+""")
+    r = _run(child)
+    assert r.returncode == 0, r.stderr
+    parsed = json.loads(r.stdout.strip().splitlines()[-1])
+    assert parsed["value"] == 141.5
