@@ -53,7 +53,7 @@ def _pick_tn(q_out: int):
     return None
 
 
-def _make_moe_kernel(affine, G: int, out_dtype):
+def _make_moe_kernel(affine, G: int, out_dtype, magic: bool = False):
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(eids_ref, x_ref, *refs):
@@ -61,12 +61,21 @@ def _make_moe_kernel(affine, G: int, out_dtype):
         o_ref = refs[-1]
         w_refs = refs[:-1]
         x = x_ref[0].astype(jnp.float32)              # (1, 8G)
+
+        def cvt(v_i32):
+            if magic:
+                # mantissa-OR trick (see dequant_pallas._variant): exact
+                # for nibbles, replaces the int->float convert with ALU
+                return pltpu.bitcast(v_i32 | 0x4B000000,
+                                     jnp.float32) - float(1 << 23)
+            return v_i32.astype(jnp.float32)
+
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
             w = pltpu.bitcast(w_ref[0], jnp.int32)    # (TN, G)
             acc = None
             for i in range(8):
-                v = _nibble(w, i).astype(jnp.float32)
+                v = cvt(_nibble(w, i))
                 part = jax.lax.dot_general(
                     x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -80,13 +89,15 @@ def _make_moe_kernel(affine, G: int, out_dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("affine", "q_out", "out_dtype_str"))
-def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str):
+                   static_argnames=("affine", "q_out", "out_dtype_str",
+                                    "magic"))
+def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str,
+              magic=False):
     R = x_perm.shape[0]
     Gp = planes_tuple[0].shape[2]
     TN = _pick_tn(q_out) or q_out
     out_dtype = np.dtype(out_dtype_str)
-    kernel = _make_moe_kernel(affine, Gp, out_dtype)
+    kernel = _make_moe_kernel(affine, Gp, out_dtype, magic)
 
     plane_specs = [
         pl.BlockSpec((1, TN, Gp), lambda t, r, eids: (eids[r], t, 0),
@@ -125,5 +136,7 @@ def moe_fused_matmul(x_perm: jax.Array, eids: jax.Array, planes: dict,
     expert id per row, planes: {key: (E, q_out, Gp)} -> (R, q_out)."""
     affine = decode_affine(codebook_id, opt_resid_scale)
     planes_tuple = tuple(planes[k] for k in sorted(planes))
+    # trace-time read so one TPU process can A/B it (see dequant_pallas)
+    magic = os.environ.get("QFA_MAGIC_MOE", "0") == "1"
     return _moe_call(x_perm, eids, planes_tuple, affine, q_out,
-                     np.dtype(x_perm.dtype).name)
+                     np.dtype(x_perm.dtype).name, magic=magic)

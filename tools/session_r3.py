@@ -121,6 +121,8 @@ def phase_rvq4b():
 
 def phase_mixtral():
     run_bench("decode_mixtral_bs1", ["--model", "mixtral"])
+    run_bench("decode_mixtral_bs1_magic", ["--model", "mixtral"],
+              env={"QFA_MAGIC_MOE": "1"})
     run_bench("decode_mixtral_bs8", ["--model", "mixtral", "--batch", "8"])
     run_bench("decode_mixtral_bs32", ["--model", "mixtral",
                                       "--batch", "32"])
