@@ -455,7 +455,9 @@ def main():
         # base result untouched.
         for vname, venv in (("magic32", {"QFA_MAGIC_SMALL_M": "32"}),
                             ("f32sm32", {"QFA_F32_SMALL_M": "32"}),
-                            ("directcvt", {"QFA_DIRECT_CVT": "1"})):
+                            ("directcvt", {"QFA_DIRECT_CVT": "1"}),
+                            ("ksplit4", {"QFA_KSPLIT": "4"}),
+                            ("tn256", {"QFA_TN": "256"})):
             saved = {k: os.environ.get(k) for k in venv}
             try:
                 os.environ.update(venv)

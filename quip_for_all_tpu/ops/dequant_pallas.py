@@ -66,10 +66,24 @@ def _variant() -> tuple:
       PER ELEMENT — folding it through the 512-term dot into the beta
       correction loses the signal to f32 cancellation (measured rel
       err 0.65).
+    QFA_TN=N — force the q_out tile size (default _pick_tn's VMEM
+      heuristic). Riding the variant tuple (not read inside _pick_tn
+      at trace time only) is what makes it SAFE to flip between calls:
+      _fused_call's jit cache would otherwise serve a stale executable
+      compiled for the previous TN.
+    QFA_KSPLIT=N — split each output tile's plane DMA into ~N chunks
+      along the group axis, accumulating partial dots in an f32 VMEM
+      scratch across an inner grid dimension. The 1-D grid pays one
+      full un-overlapped (TN, Gp) plane fetch as pipeline prologue per
+      kernel call (~1/(grid+1) of the call, the bulk of the measured
+      18% gap to pure streaming); chunking shrinks that bubble to
+      ~1/(N*grid+1) while keeping each DMA >= 128 lanes wide.
     """
     return (int(os.environ.get("QFA_F32_SMALL_M", "0")),
             os.environ.get("QFA_DIRECT_CVT", "0") == "1",
-            int(os.environ.get("QFA_MAGIC_SMALL_M", "0")))
+            int(os.environ.get("QFA_MAGIC_SMALL_M", "0")),
+            int(os.environ.get("QFA_TN", "0")),
+            int(os.environ.get("QFA_KSPLIT", "0")))
 
 
 def _nibble(w_i32, i: int):
@@ -165,15 +179,108 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
     return kernel
 
 
+def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
+                        with_scale: bool, right_b: int, variant):
+    """K-chunked variant (QFA_KSPLIT): the grid gains an inner dimension
+    over `ksplit` group-axis chunks so plane DMA pipelines at chunk
+    granularity; partial dots accumulate in an f32 VMEM scratch and the
+    epilogue (alpha-scaled already per chunk; scale/cast/right-Hb) runs
+    on the last chunk. x arrives 3-D (m, 8, Gc) per chunk — the grouped
+    flat layout's position slices are not contiguous within a chunk."""
+    f32_small_m, direct_cvt, magic_small_m = (tuple(variant) + (0,))[:3]
+    beta_total = float(sum(b for _, b in affine))
+
+    def kernel(x_ref, *refs):
+        acc_ref = refs[-1]
+        o_ref = refs[-2]
+        s_ref = hb_ref = None
+        w_refs = refs[:-2]
+        if right_b:
+            hb_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
+        if with_scale:
+            s_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
+        k = pl.program_id(1)
+        x3 = x_ref[...]                                # (m, 8, Gc)
+        magic = bool(magic_small_m and x3.shape[0] <= magic_small_m)
+        if magic or (f32_small_m and x3.shape[0] <= f32_small_m):
+            x3 = x3.astype(jnp.float32)
+
+        def cvt(v_i32):
+            if magic:
+                return pltpu.bitcast(v_i32 | 0x4B000000,
+                                     jnp.float32) - float(1 << 23)
+            if x3.dtype == jnp.float32:
+                return v_i32.astype(jnp.float32)
+            if direct_cvt:
+                return v_i32.astype(x3.dtype)
+            return v_i32.astype(jnp.float32).astype(x3.dtype)
+
+        part = None
+        for (alpha, _), w_ref in zip(affine, w_refs):
+            w = pltpu.bitcast(w_ref[...], jnp.int32)
+            acc = None
+            for i in range(8):
+                v = cvt(_nibble(w, i))
+                d = jax.lax.dot_general(
+                    x3[:, i, :], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            acc = acc * alpha
+            part = acc if part is None else part + acc
+        xs = jnp.sum(x3.astype(jnp.float32), axis=(1, 2),
+                     keepdims=False)[:, None]           # (m, 1)
+        part = part + beta_total * xs
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = part
+
+        @pl.when(k > 0)
+        def _accum():
+            acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(k == ksplit - 1)
+        def _epilogue():
+            out = acc_ref[...]
+            if s_ref is not None:
+                out = out * s_ref[...].astype(jnp.float32)
+            out = out.astype(out_dtype)
+            if hb_ref is not None:
+                mm, TN = out.shape
+                rb = hb_ref[...].astype(out_dtype)
+                t = out.reshape(mm, TN // right_b, right_b)
+                t = jax.lax.dot_general(
+                    t, rb, (((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = t.astype(out_dtype).reshape(mm, TN)
+            o_ref[...] = out
+
+    return kernel
+
+
+def _pick_ksplit(requested: int, Gp: int) -> int:
+    """Largest divisor of Gp/128 that is <= requested (chunks stay
+    128-lane-aligned); 1 when Gp has no suitable factor."""
+    if requested <= 1 or Gp % 128 != 0:
+        return 1
+    nlanes = Gp // 128
+    for d in range(min(requested, nlanes), 0, -1):
+        if nlanes % d == 0:
+            return d
+    return 1
+
+
 def supports(qt: QuantizedTensor) -> bool:
     # the remote-TPU tunnel platform reports "axon", not "tpu"
     backend_ok = jax.default_backend() in ("tpu", "axon") or _INTERPRET
     return qt.q_out % 128 == 0 and qt.q_in % 8 == 0 and backend_ok
 
 
-def _pick_tn(q_out: int, Gp: int, n_planes: int) -> int:
+def _pick_tn(q_out: int, Gp: int, n_planes: int, forced_tn: int = 0) -> int:
     # VMEM per tile: word planes (TN*Gp*4*n) + 8 value planes transient
-    forced = os.environ.get("QFA_TN")
+    forced = forced_tn or os.environ.get("QFA_TN")
     if forced and q_out % int(forced) == 0:
         return int(forced)
     budget = 6 * 1024 * 1024
@@ -191,10 +298,41 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
-    TN = _pick_tn(q_out, Gp, n_planes)
+    forced_tn = variant[3] if len(variant) > 3 else 0
+    TN = _pick_tn(q_out, Gp, n_planes, forced_tn)
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
+    ksplit = _pick_ksplit(variant[4] if len(variant) > 4 else 0, Gp)
+    if ksplit > 1 and m <= 32:
+        Gc = Gp // ksplit
+        kernel = _make_kernel_ksplit(affine, Gc, ksplit, out_dtype,
+                                     scale_vec is not None, B, variant)
+        plane_specs = [
+            pl.BlockSpec((TN, Gc), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM)
+            for _ in planes_tuple
+        ]
+        args = list(planes_tuple)
+        if scale_vec is not None:
+            plane_specs.append(pl.BlockSpec((1, TN), lambda i, k: (0, i),
+                                            memory_space=pltpu.VMEM))
+            args.append(scale_vec.reshape(1, q_out))
+        if right_hb is not None:
+            plane_specs.append(pl.BlockSpec((B, B), lambda i, k: (0, 0),
+                                            memory_space=pltpu.VMEM))
+            args.append(right_hb)
+        return pl.pallas_call(
+            kernel,
+            grid=(q_out // TN, ksplit),
+            in_specs=[pl.BlockSpec((m, 8, Gc), lambda i, k: (0, 0, k),
+                                   memory_space=pltpu.VMEM)] + plane_specs,
+            out_specs=pl.BlockSpec((m, TN), lambda i, k: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
+            scratch_shapes=[pltpu.VMEM((m, TN), jnp.float32)],
+            interpret=_INTERPRET,
+        )(x_perm.reshape(m, 8, Gp), *args)
     kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B,
                           variant)
 

@@ -158,3 +158,58 @@ def test_fused_custom_vjp_matches_dense_grad(rng):
         gd = np.asarray(jax.grad(f_dense2, argnums=argnum)(x, sv))
         np.testing.assert_allclose(gf, gd, rtol=1e-4, atol=1e-4,
                                    err_msg=f"argnum {argnum}")
+
+
+@pytest.mark.parametrize("name", ["E8P12", "E8P12RVQ4B"])
+@pytest.mark.parametrize("ksplit", ["2", "4"])
+def test_fused_ksplit_matches_base(name, ksplit, rng, monkeypatch):
+    """QFA_KSPLIT chunked-accumulator pipeline must reproduce the base
+    kernel (including scale_vec epilogue) — requested chunk counts that
+    don't divide Gp/128 fall back to the nearest divisor."""
+    cb = get_codebook(name)
+    q_out, q_in = 256, 2048                 # Gp = 256 -> 2 lane blocks
+    n = _n_codes(cb)
+    vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
+                        dtype=np.uint64)
+    qt = from_raw_idxs(cb, vals.astype(np.uint32).view(np.int32),
+                       q_out, q_in)
+    m = 3
+    x = rng.standard_normal((m, q_in)).astype(np.float32)
+    sv = rng.standard_normal(q_out).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = (x @ W.T) * sv[None, :]
+
+    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+    xg = x.reshape(m, G, 8).transpose(0, 2, 1)
+    xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
+
+    monkeypatch.setenv("QFA_KSPLIT", ksplit)
+    out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        jnp.asarray(xg), qt, scale_vec=jnp.asarray(sv)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (name, ksplit, rel)
+
+    # plain path (no scale_vec), exercising fused_quant_matmul end to end
+    out2 = np.asarray(dequant_pallas.fused_quant_matmul(jnp.asarray(x), qt))
+    ref2 = x @ W.T
+    rel2 = np.abs(out2 - ref2).max() / (np.abs(ref2).max() + 1e-9)
+    assert rel2 < 2e-5, (name, ksplit, rel2)
+
+
+def test_fused_forced_tn_variant(rng, monkeypatch):
+    """QFA_TN rides the variant tuple: flipping it between calls must
+    recompile (not reuse a stale executable) and match the dense path."""
+    cb = get_codebook("E8P12")
+    q_out, q_in = 512, 512
+    raw = rng.integers(0, 1 << 16, size=(q_out, q_in // 8),
+                       dtype=np.int64).astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in)
+    x = rng.standard_normal((3, q_in)).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = x @ W.T
+    for tn in ("128", "256", "512"):
+        monkeypatch.setenv("QFA_TN", tn)
+        out = np.asarray(dequant_pallas.fused_quant_matmul(
+            jnp.asarray(x), qt))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-5, (tn, rel)

@@ -1,10 +1,11 @@
 """Round-3 consolidated TPU measurement session.
 
-ONE process runs every phase sequentially (the relay wedges if TPU
-processes overlap or get killed; see README perf notes), appending one
-JSON line per measurement to tools/R3_RESULTS.jsonl so a crash loses at
-most the in-flight phase. Run it with a GENEROUS timeout (60+ min) and
-never alongside another TPU process:
+Each measurement runs in a FRESH clean-exiting subprocess (sequential,
+never overlapping — overlap or kills wedge the relay; an in-process OOM
+poisons the TPU client for every later phase), appending one JSON line
+per measurement to tools/R3_RESULTS.jsonl so a crash loses at most the
+in-flight phase. Run with a GENEROUS timeout (60+ min) and never
+alongside another TPU process:
 
     python tools/session_r3.py [--phases decode_ab,prefill,rvq4b,mixtral]
 
@@ -16,12 +17,12 @@ Phases:
                m in (1024, 2048] crossover, VERDICT #8)
   rvq4b      — RVQ4B bs=1 and bs=32 decode (north-star #3)
   mixtral    — mixtral 16L bs=1/8/32 sparse decode (north-star #4)
+  pipeline   — QFA_KSPLIT / QFA_TN DMA-pipeline sweep (VERDICT #2)
+  rvq4b_ab   — RVQ4B decode-compute variants
 """
 from __future__ import annotations
 
 import argparse
-import contextlib
-import io
 import json
 import os
 import sys
@@ -45,46 +46,43 @@ def record(tag: str, payload: dict) -> None:
 SMOKE_ARGS: list = []     # set by --smoke: tiny model, CPU, wiring check
 
 
-def run_bench(tag: str, argv: list, env: dict | None = None) -> dict | None:
-    """Call bench.main() in-process (--no-retry measurement path),
-    capturing its JSON stdout line. env overrides are set for the call
-    and restored after (all kernel knobs are trace-time reads)."""
-    import bench
-    old = {}
+def run_bench(tag: str, argv: list, env: dict | None = None,
+              timeout_s: float = 1500.0) -> dict | None:
+    """Run ONE bench measurement in a FRESH subprocess (--no-retry path)
+    and record its JSON stdout line. Subprocess isolation is mandatory:
+    an OOM (RESOURCE_EXHAUSTED) leaves the in-process TPU client unable
+    to allocate, poisoning every later phase (observed r3: rvq4b bs32
+    OOM -> all mixtral runs dead). Clean-exit sequential subprocesses
+    are relay-safe (the bench supervisor uses the same pattern)."""
+    import subprocess
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.dirname(
+               os.path.abspath(__file__))), "bench.py"),
+           "--no-retry"] + argv + SMOKE_ARGS
+    child_env = dict(os.environ)
     for k, v in (env or {}).items():
-        old[k] = os.environ.get(k)
-        os.environ[k] = str(v)
-    buf = io.StringIO()
+        child_env[k] = str(v)
     t0 = time.time()
     try:
-        old_argv = sys.argv
-        sys.argv = ["bench.py", "--no-retry"] + argv + SMOKE_ARGS
-        with contextlib.redirect_stdout(buf):
-            bench.main()
-    except SystemExit as e:
-        if e.code not in (0, None):
-            record(tag, {"error": f"bench exited {e.code}",
-                         "stdout": buf.getvalue()[-500:]})
-            return None
-    except Exception:
-        record(tag, {"error": traceback.format_exc()[-800:]})
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s, env=child_env)
+    except subprocess.TimeoutExpired:
+        record(tag, {"error": f"timeout after {timeout_s:.0f}s"})
         return None
-    finally:
-        sys.argv = old_argv
-        for k, v in old.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    if proc.returncode != 0:
+        tail = (proc.stdout + proc.stderr).strip().splitlines()
+        record(tag, {"error": f"rc={proc.returncode}: "
+                     + " | ".join(tail[-3:])[-700:]})
+        return None
     parsed = None
-    for line in reversed(buf.getvalue().strip().splitlines()):
+    for line in reversed(proc.stdout.strip().splitlines()):
         try:
             parsed = json.loads(line)
             break
         except (json.JSONDecodeError, ValueError):
             continue
     record(tag, {"result": parsed, "wall_s": round(time.time() - t0, 1),
-                 "env": env or {}})
+                 "env": env or {}, **({"smoke": True} if SMOKE_ARGS else {})})
     return parsed
 
 
@@ -115,21 +113,53 @@ def phase_prefill():
 
 def phase_rvq4b():
     run_bench("decode_rvq4b_bs1", ["--codebook", "E8P12RVQ4B"])
+    # bs=32 bf16 KV at cache 2048 is 32 GB — int8 KV + 512-token cache
+    # fits beside the ~6.7 GB RVQ4B planes (r3: the 2048 run OOM'd)
     run_bench("decode_rvq4b_bs32", ["--codebook", "E8P12RVQ4B",
-                                    "--batch", "32"])
+                                    "--batch", "32", "--cache-len", "512",
+                                    "--kv-quantized"])
 
 
 def phase_mixtral():
     run_bench("decode_mixtral_bs1", ["--model", "mixtral"])
     run_bench("decode_mixtral_bs1_magic", ["--model", "mixtral"],
               env={"QFA_MAGIC_MOE": "1"})
-    run_bench("decode_mixtral_bs8", ["--model", "mixtral", "--batch", "8"])
+    run_bench("decode_mixtral_bs8", ["--model", "mixtral", "--batch", "8",
+                                     "--cache-len", "512"])
     run_bench("decode_mixtral_bs32", ["--model", "mixtral",
-                                      "--batch", "32"])
+                                      "--batch", "32",
+                                      "--cache-len", "512"])
+
+
+def phase_pipeline():
+    """DMA-pipeline shape sweep (VERDICT #2): K-chunked accumulator
+    scratch (QFA_KSPLIT) shrinks the per-call pipeline prologue bubble;
+    QFA_TN trades chunk size for grid depth. All bit-exact variants."""
+    run_bench("decode_e8p12_ksplit2", [], env={"QFA_KSPLIT": "2"})
+    run_bench("decode_e8p12_ksplit4", [], env={"QFA_KSPLIT": "4"})
+    run_bench("decode_e8p12_tn256", [], env={"QFA_TN": "256"})
+    run_bench("decode_e8p12_tn256_ksplit2", [],
+              env={"QFA_TN": "256", "QFA_KSPLIT": "2"})
+    run_bench("decode_e8p12_ksplit4_magic", [],
+              env={"QFA_KSPLIT": "4", "QFA_MAGIC_SMALL_M": "32"})
+
+
+def phase_rvq4b_ab():
+    """RVQ4B decode-compute variants (its gap to the ~115 DMA floor is
+    exposed VPU decode; north-star #3 wants >= 100)."""
+    run_bench("rvq4b_magic", ["--codebook", "E8P12RVQ4B"],
+              env={"QFA_MAGIC_SMALL_M": "32"})
+    run_bench("rvq4b_f32sm", ["--codebook", "E8P12RVQ4B"],
+              env={"QFA_F32_SMALL_M": "32"})
+    run_bench("rvq4b_ksplit4", ["--codebook", "E8P12RVQ4B"],
+              env={"QFA_KSPLIT": "4"})
+    run_bench("rvq4b_ksplit4_magic", ["--codebook", "E8P12RVQ4B"],
+              env={"QFA_KSPLIT": "4", "QFA_MAGIC_SMALL_M": "32"})
 
 
 PHASES = {"decode_ab": phase_decode_ab, "prefill": phase_prefill,
-          "rvq4b": phase_rvq4b, "mixtral": phase_mixtral}
+          "rvq4b": phase_rvq4b, "mixtral": phase_mixtral,
+          "pipeline": phase_pipeline, "rvq4b_ab": phase_rvq4b_ab}
 
 
 def main():
