@@ -185,8 +185,10 @@ def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
     over `ksplit` group-axis chunks so plane DMA pipelines at chunk
     granularity; partial dots accumulate in an f32 VMEM scratch and the
     epilogue (alpha-scaled already per chunk; scale/cast/right-Hb) runs
-    on the last chunk. x arrives 3-D (m, 8, Gc) per chunk — the grouped
-    flat layout's position slices are not contiguous within a chunk."""
+    on the last chunk. The kernel body is 2-D throughout, mirroring the
+    base kernel (a 3-D x block abort-trapped Mosaic on hardware:
+    layout.h Check `arr.size() >= layout_rank`): the caller re-orders x
+    chunk-major so chunk k's (m, 8*Gc) block is contiguous."""
     f32_small_m, direct_cvt, magic_small_m = (tuple(variant) + (0,))[:3]
     beta_total = float(sum(b for _, b in affine))
 
@@ -202,20 +204,20 @@ def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
             s_ref = w_refs[-1]
             w_refs = w_refs[:-1]
         k = pl.program_id(1)
-        x3 = x_ref[...]                                # (m, 8, Gc)
-        magic = bool(magic_small_m and x3.shape[0] <= magic_small_m)
-        if magic or (f32_small_m and x3.shape[0] <= f32_small_m):
-            x3 = x3.astype(jnp.float32)
+        x = x_ref[...]                                 # (m, 8*Gc)
+        magic = bool(magic_small_m and x.shape[0] <= magic_small_m)
+        if magic or (f32_small_m and x.shape[0] <= f32_small_m):
+            x = x.astype(jnp.float32)
 
         def cvt(v_i32):
             if magic:
                 return pltpu.bitcast(v_i32 | 0x4B000000,
                                      jnp.float32) - float(1 << 23)
-            if x3.dtype == jnp.float32:
+            if x.dtype == jnp.float32:
                 return v_i32.astype(jnp.float32)
             if direct_cvt:
-                return v_i32.astype(x3.dtype)
-            return v_i32.astype(jnp.float32).astype(x3.dtype)
+                return v_i32.astype(x.dtype)
+            return v_i32.astype(jnp.float32).astype(x.dtype)
 
         part = None
         for (alpha, _), w_ref in zip(affine, w_refs):
@@ -224,13 +226,12 @@ def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
             for i in range(8):
                 v = cvt(_nibble(w, i))
                 d = jax.lax.dot_general(
-                    x3[:, i, :], v, (((1,), (1,)), ((), ())),
+                    x[:, i * Gc:(i + 1) * Gc], v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
             acc = acc * alpha
             part = acc if part is None else part + acc
-        xs = jnp.sum(x3.astype(jnp.float32), axis=(1, 2),
-                     keepdims=False)[:, None]           # (m, 1)
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (m, 1)
         part = part + beta_total * xs
 
         @pl.when(k == 0)
@@ -322,17 +323,21 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
             plane_specs.append(pl.BlockSpec((B, B), lambda i, k: (0, 0),
                                             memory_space=pltpu.VMEM))
             args.append(right_hb)
+        # chunk-major x: lane ((k*8)+i)*Gc+g so chunk k is one contiguous
+        # 2-D block (a 3-D x block abort-trapped Mosaic's layout checks)
+        x_ck = (x_perm.reshape(m, 8, ksplit, Gc).transpose(0, 2, 1, 3)
+                .reshape(m, ksplit * 8 * Gc))
         return pl.pallas_call(
             kernel,
             grid=(q_out // TN, ksplit),
-            in_specs=[pl.BlockSpec((m, 8, Gc), lambda i, k: (0, 0, k),
+            in_specs=[pl.BlockSpec((m, 8 * Gc), lambda i, k: (0, k),
                                    memory_space=pltpu.VMEM)] + plane_specs,
             out_specs=pl.BlockSpec((m, TN), lambda i, k: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
             scratch_shapes=[pltpu.VMEM((m, TN), jnp.float32)],
             interpret=_INTERPRET,
-        )(x_perm.reshape(m, 8, Gp), *args)
+        )(x_ck, *args)
     kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B,
                           variant)
 

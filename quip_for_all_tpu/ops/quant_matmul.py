@@ -24,11 +24,14 @@ from .qtensor import QuantizedTensor
 # accumulator tiles) it stays register-resident at any m — measured
 # whole-model: bs=32 decode 1887 vs 149 tok/s, S=512 prefill 3617 vs
 # 3166 tok/s. The reference's m=32 CUDA threshold is wrong for TPU.
-# Above 1024 rows the per-m-tile plane re-decode is UNMEASURED, so auto
-# falls back to dense there (eval_ppl's S=2048 windows). QFA_FUSED_MAX_M
-# overrides the crossover for the hardware A/B that will settle it —
-# read at TRACE time (a function, not an import-time constant, so one
-# process can A/B both regimes).
+# The m in (1024, 2048] regime was settled on hardware in round 3
+# (tools/R3_RESULTS.jsonl, Llama-2-7B E8P12 whole-model prefill):
+# S=2048 dense 3985 tok/s vs fused 3458 (the per-m-tile plane re-decode
+# at 64 m-tiles overtakes the dense path's extra HBM), while S=1024
+# fused 3607 still beats dense — so the crossover stays at 1025.
+# QFA_FUSED_MAX_M overrides it for hardware A/Bs — read at TRACE time
+# (a function, not an import-time constant, so one process can A/B
+# both regimes).
 _DEFAULT_MAX_M = 1025
 
 
