@@ -196,7 +196,8 @@ def fuse_qlinears(ps) -> FusedQuantLinear:
     }
     q_out = sum(p.q_out for p in ps)
     qt = QuantizedTensor(planes, p0.qweight.codebook_id, q_out, p0.q_in,
-                         p0.qweight.opt_resid_scale)
+                         p0.qweight.opt_resid_scale,
+                         layout=p0.qweight.layout)
     # segments keep only per-output metadata/arrays; the shared left side
     # and the (concatenated) code planes live on the fused container
     slim = tuple(

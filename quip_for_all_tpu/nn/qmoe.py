@@ -116,6 +116,19 @@ def stack_qlinears(groups: List[List[QuantLinearParams]]
     g0 = groups[0]
     p0 = g0[0]
     nseg, E = len(g0), len(groups)
+    if p0.qweight.layout != "nibble":
+        # the sparse scalar-prefetch MoE kernel decodes nibble planes;
+        # experts loaded in the paired RVQ4B layout re-encode here (one
+        # host roundtrip at fuse time, exact by construction)
+        from ..ops.qtensor import paired_to_nibble
+        import dataclasses as _dc
+        groups = [
+            [_dc.replace(p, qweight=paired_to_nibble(p.qweight))
+             for p in g]
+            for g in groups
+        ]
+        g0 = groups[0]
+        p0 = g0[0]
     plane_keys = sorted(p0.qweight.planes)
     planes = {
         k: jnp.stack([

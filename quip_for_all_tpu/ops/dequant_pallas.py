@@ -179,6 +179,109 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
     return kernel
 
 
+def _make_kernel_paired(rs: float, Gp: int, Wp: int, out_dtype,
+                        with_scale: bool, right_b: int, variant):
+    """Kernel body for the paired ~6.5-bit RVQ4B layout (ops/qtensor.py
+    module docstring). Per position i and group-range half h:
+
+        lo4 = nibble_i(w0[:, h*Gh:(h+1)*Gh])        u0 = lo4 & 7
+        hi  = (w1 >> (16h + 2i)) & 3                u1 = 2*hi + (lo4 >> 3)
+        v   = u0 + rs*u1   (f32-exact, cast to the dot dtype)
+
+    and ONE dot against the matching x slice — 16 half-width dots replace
+    the nibble format's 16 full-width ones while streaming ~19% fewer
+    bytes (the kernel is DMA-bound on hardware, tools/R3_RESULTS.jsonl).
+    The per-group parity correction -0.5*(p0 + rs*p1)*groupsum(x) runs as
+    Gp/Wp skinny dots against in-kernel group sums; the constant
+    -2.25*(1+rs) rides the rowsum beta term as usual."""
+    f32_small_m, _, magic_small_m = (tuple(variant) + (0,))[:3]
+    beta_total = -2.25 * (1.0 + rs)
+    Gh = Gp // 2
+    nf = Gp // Wp
+
+    def kernel(x_ref, l_ref, h_ref, p_ref, *refs):
+        o_ref = refs[-1]
+        s_ref = hb_ref = None
+        rest = refs[:-1]
+        if right_b:
+            hb_ref = rest[-1]
+            rest = rest[:-1]
+        if with_scale:
+            s_ref = rest[-1]
+        x = x_ref[...]                                 # (m, 8*Gp)
+        small = x.shape[0] <= max(f32_small_m, magic_small_m)
+        if small and (f32_small_m or magic_small_m):
+            x = x.astype(jnp.float32)                  # tiny; dots in f32
+        L = pltpu.bitcast(l_ref[...], jnp.int32)       # (TN, Gp)
+        Hw = pltpu.bitcast(h_ref[...], jnp.int32)      # (TN, Gh)
+        Pw = pltpu.bitcast(p_ref[...], jnp.int32)      # (TN, Wp)
+
+        magic = bool(magic_small_m and x.shape[0] <= magic_small_m)
+
+        def cvt(v_i32):
+            # dot INPUTS must be bf16-exact: TPU f32 dots (and interpret
+            # mode, which emulates them) multiply at bf16 input precision,
+            # so only the integer u-planes enter the MXU; all rs/parity
+            # scales apply to the f32 accumulators below
+            if magic:
+                return pltpu.bitcast(v_i32 | 0x4B000000,
+                                     jnp.float32) - float(1 << 23)
+            if x.dtype == jnp.float32:
+                return v_i32.astype(jnp.float32)
+            return v_i32.astype(jnp.float32).astype(x.dtype)
+
+        def shr(v, k):
+            return v if k == 0 else jax.lax.shift_right_logical(v, k)
+
+        def dot(a, v):
+            return jax.lax.dot_general(a, cvt(v), (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        # full-width (TN, Gp) value planes per position: u0 extracts
+        # straight from L; u1's high bits lane-concat the two group-range
+        # halves of the half-width plane (256-lane aligned block move, no
+        # per-element shuffle) — 16 full dots, same MXU shape as the
+        # nibble kernel's, measured much faster than 32 half-width dots
+        d0 = d1 = None
+        for i in range(8):
+            u0 = shr(L, 4 * i) & 7
+            b = shr(L, 4 * i + 3) & 1
+            hi = jnp.concatenate(
+                [shr(Hw, 2 * i) & 3, shr(Hw, 16 + 2 * i) & 3], axis=1)
+            u1 = (hi << 1) | b
+            xi = x[:, i * Gp:(i + 1) * Gp]
+            a = dot(xi, u0)
+            c = dot(xi, u1)
+            d0 = a if d0 is None else d0 + a
+            d1 = c if d1 is None else d1 + c
+        out = d0 + rs * d1
+        # group sums for the parity correction (two binary planes; the
+        # -0.5 / -0.5*rs weights ride the accumulators)
+        gx = x[:, 0:Gp]
+        for i in range(1, 8):
+            gx = gx + x[:, i * Gp:(i + 1) * Gp]
+        p0 = jnp.concatenate([shr(Pw, 2 * j) & 1 for j in range(nf)],
+                             axis=1)
+        p1 = jnp.concatenate([shr(Pw, 2 * j + 1) & 1 for j in range(nf)],
+                             axis=1)
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = (out - 0.5 * (dot(gx, p0) + rs * dot(gx, p1))
+               + beta_total * xs)
+        if s_ref is not None:
+            out = out * s_ref[...].astype(jnp.float32)
+        out = out.astype(out_dtype)
+        if hb_ref is not None:
+            mm, TN = out.shape
+            t = out.reshape(mm, TN // right_b, right_b)
+            t = jax.lax.dot_general(
+                t, hb_ref[...].astype(out.dtype), (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = t.astype(out_dtype).reshape(mm, TN)
+        o_ref[...] = out
+
+    return kernel
+
+
 def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
                         with_scale: bool, right_b: int, variant):
     """K-chunked variant (QFA_KSPLIT): the grid gains an inner dimension
@@ -279,32 +382,39 @@ def supports(qt: QuantizedTensor) -> bool:
     return qt.q_out % 128 == 0 and qt.q_in % 8 == 0 and backend_ok
 
 
-def _pick_tn(q_out: int, Gp: int, n_planes: int, forced_tn: int = 0) -> int:
-    # VMEM per tile: word planes (TN*Gp*4*n) + 8 value planes transient
+def _pick_tn(q_out: int, Gp: int, n_planes: int, forced_tn: int = 0,
+             plane_cols: int = 0) -> int:
+    # VMEM per tile: word planes (TN*Gp*4*n) + 8 value planes transient;
+    # plane_cols overrides n_planes*Gp for mixed-width plane sets (paired)
     forced = forced_tn or os.environ.get("QFA_TN")
     if forced and q_out % int(forced) == 0:
         return int(forced)
     budget = 6 * 1024 * 1024
+    cols = plane_cols or n_planes * Gp
     for tn in (512, 256, 128):
-        if q_out % tn == 0 and tn * Gp * 4 * (n_planes + 2) <= budget:
+        if q_out % tn == 0 and tn * 4 * (cols + 2 * Gp) <= budget:
             return tn
     return 128
 
 
 @functools.partial(jax.jit,
                    static_argnames=("affine", "q_out", "out_dtype_str",
-                                    "variant"))
+                                    "variant", "layout", "rs"))
 def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
-                scale_vec=None, right_hb=None, variant=(0, False)):
+                scale_vec=None, right_hb=None, variant=(0, False),
+                layout="nibble", rs=0.0):
     m = x_perm.shape[0]
     Gp = planes_tuple[0].shape[1]
     n_planes = len(planes_tuple)
+    paired = layout == "paired"
     forced_tn = variant[3] if len(variant) > 3 else 0
-    TN = _pick_tn(q_out, Gp, n_planes, forced_tn)
+    plane_cols = (sum(p.shape[1] for p in planes_tuple) if paired else 0)
+    TN = _pick_tn(q_out, Gp, n_planes, forced_tn, plane_cols)
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
-    ksplit = _pick_ksplit(variant[4] if len(variant) > 4 else 0, Gp)
+    ksplit = 1 if paired else _pick_ksplit(
+        variant[4] if len(variant) > 4 else 0, Gp)
     if ksplit > 1 and m <= 32:
         Gc = Gp // ksplit
         kernel = _make_kernel_ksplit(affine, Gc, ksplit, out_dtype,
@@ -338,8 +448,13 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
             scratch_shapes=[pltpu.VMEM((m, TN), jnp.float32)],
             interpret=_INTERPRET,
         )(x_ck, *args)
-    kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None, B,
-                          variant)
+    if paired:
+        kernel = _make_kernel_paired(rs, Gp, planes_tuple[2].shape[1],
+                                     out_dtype, scale_vec is not None, B,
+                                     variant)
+    else:
+        kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None,
+                              B, variant)
 
     # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
     # — one (m, TN) accumulator spills once m grows past a few dozen rows
@@ -353,9 +468,9 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
         # decode shape: 1-D grid exactly as before (the 2-D grid with a
         # trivial inner dim measurably hurt bs=1 pipelining)
         plane_specs = [
-            pl.BlockSpec((TN, Gp), lambda i: (i, 0),
+            pl.BlockSpec((TN, p.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-            for _ in planes_tuple
+            for p in planes_tuple
         ]
         args = list(planes_tuple)
         if scale_vec is not None:
@@ -377,9 +492,9 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
             interpret=_INTERPRET,
         )(x_perm, *args)
     plane_specs = [
-        pl.BlockSpec((TN, Gp), lambda i, j: (i, 0),
+        pl.BlockSpec((TN, p.shape[1]), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM)
-        for _ in planes_tuple
+        for p in planes_tuple
     ]
     args = list(planes_tuple)
     if scale_vec is not None:
@@ -444,9 +559,10 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
-    meta = (qt.decode_affine, qt.q_out, qt.q_in,
+    affine = qt.decode_affine if qt.layout == "nibble" else None
+    meta = (affine, qt.q_out, qt.q_in,
             np.dtype(x_perm.dtype).name, qt.codebook_id,
-            float(qt.opt_resid_scale), _variant())
+            float(qt.opt_resid_scale), _variant(), qt.layout)
     out = _fused_core(meta, x_perm, planes, scale_vec, right_hb)
     return out[:m]
 
@@ -455,9 +571,11 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
 def _fused_core(meta, x_perm, planes, scale_vec, right_hb):
     affine, q_out, q_in, out_dtype_str = meta[:4]
     variant = meta[6] if len(meta) > 6 else (0, False)
+    layout = meta[7] if len(meta) > 7 else "nibble"
     return _fused_call(x_perm, planes, affine, q_out, out_dtype_str,
                        scale_vec=scale_vec, right_hb=right_hb,
-                       variant=variant)
+                       variant=variant, layout=layout,
+                       rs=float(meta[5]))
 
 
 def _fused_core_fwd(meta, x_perm, planes, scale_vec, right_hb):
@@ -470,10 +588,11 @@ def _fused_core_bwd(meta, res, g):
     output equals x_nat @ W^T (parity-tested; the per-element beta is part
     of W, so the rank-1 rowsum correction needs no special casing)."""
     affine, q_out, q_in, out_dtype_str, cb_id, ors = meta[:6]
+    layout = meta[7] if len(meta) > 7 else "nibble"
     x_perm, planes, scale_vec, right_hb = res
     from .dequant_xla import decode_weights
     qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},
-                         cb_id, q_out, q_in, ors)
+                         cb_id, q_out, q_in, ors, layout=layout)
     mp = x_perm.shape[0]
     Gp = planes[0].shape[1]
     G = q_in // 8

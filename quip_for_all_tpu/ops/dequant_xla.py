@@ -31,8 +31,37 @@ def _nibble_planes(w_i32):
     return out
 
 
+def _paired_positions(qt: QuantizedTensor, dtype):
+    """Paired RVQ4B layout (ops/qtensor.py module docstring): per weight
+    value = u0 + rs*u1 - 2.25*(1+rs) - 0.5*(p0 + rs*p1)[group]."""
+    rs = qt.opt_resid_scale
+    L = _u32(qt.planes["w0"])
+    Hw = _u32(qt.planes["w1"])
+    Pw = _u32(qt.planes["w2"])
+    Gp, Wp = L.shape[-1], Pw.shape[-1]
+    Gh = Gp // 2
+    delta = jnp.concatenate(
+        [((Pw >> (2 * j)) & 1).astype(jnp.float32)
+         + rs * ((Pw >> (2 * j + 1)) & 1).astype(jnp.float32)
+         for j in range(Gp // Wp)], axis=-1)          # (q_out, Gp)
+    const = -2.25 * (1.0 + rs) - 0.5 * delta
+    out = []
+    for i in range(8):
+        lo4 = (L >> (4 * i)) & 0xF
+        b = (lo4 >> 3).astype(jnp.float32)
+        u0 = (lo4 & 7).astype(jnp.float32)
+        hi = jnp.concatenate(
+            [((Hw >> (16 * h + 2 * i)) & 3).astype(jnp.float32)
+             for h in (0, 1)], axis=-1)               # (q_out, Gp)
+        v = u0 + rs * (2.0 * hi + b) + const
+        out.append(v.astype(dtype))
+    return out
+
+
 def decode_positions(qt: QuantizedTensor, dtype=jnp.float32):
     """-> list of 8 (q_out, G_padded) planes; plane i holds weight 8g+i."""
+    if qt.layout == "paired":
+        return _paired_positions(qt, dtype)
     affine = qt.decode_affine
     keys = sorted(qt.planes)
     assert len(keys) == len(affine)

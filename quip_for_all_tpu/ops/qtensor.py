@@ -31,10 +31,34 @@ decode cost, so bs=1 decode remains decode-bound, not bandwidth-bound.
 
 Plane columns are padded to 128-lane multiples; pad groups decode to
 garbage but every consumer slices them off or zeroes the matching x lanes.
+
+**Paired RVQ4B layout** (``layout="paired"``, round 3): the affine-nibble
+format spends 8 bits/weight on E8P12RVQ4B's two 2-bit stages — 2x the
+stored density — and hardware shows the fused kernel is DMA-bound, so
+RVQ4B decode runs at exactly half E8P12's rate. Exploiting the E8P
+structure (weight = u - 2.25 - 0.5*parity with u in {0..5} and the parity
+shared per 8-weight codeword — verified exhaustively over the full grid)
+packs the PAIR of stages into ~6.5 bits/weight:
+
+    w0 (q_out, Gp)    int32: position-i nibble = u0 | (u1 & 1) << 3
+    w1 (q_out, Gp/2)  int32: 2-bit field (16h + 2i) = u1 >> 1 for group
+                             h*Gp/2 + lane  (halves = group-range halves,
+                             so kernel slices stay lane-contiguous)
+    w2 (q_out, Wp)    int32: 2-bit field 2j = (p0, p1) parity pair of
+                             group j*Wp + lane (Wp = smallest 128-multiple
+                             dividing Gp with 16*Wp >= Gp)
+
+Decode: u0 = lo4 & 7, u1 = 2*hi + (lo4 >> 3), value = u0 + rs*u1 — three
+int-to-float converts + two FMAs per weight, still cheaper than the HBM
+stream it saves (~19% less traffic; the per-group parity correction rides
+16 skinny group-sum dots and the constant -2.25*(1+rs) rides the rowsum
+beta term exactly like the nibble format). Gp pads to 256-lane multiples
+so the half-plane w1 stays 128-lane aligned.
 """
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache
 from typing import Dict
 
@@ -45,6 +69,33 @@ import numpy as np
 from ..codebooks import Codebook, get_codebook
 from ..codebooks import e8p12, e8p12_rvq3
 from ..codebooks.d4 import d4_grid
+
+
+def rvq_paired_default() -> bool:
+    """Whether E8P12RVQ4B loads into the paired ~6.5-bit runtime layout
+    (QFA_RVQ_PAIRED=1 to opt in).
+
+    Default OFF: the hypothesis that RVQ4B decode was DMA-bound (so ~19%
+    less plane traffic would land ~19% more decode speed) was A/B'd on
+    hardware and came out FALSE — at decode shapes the fused kernel is
+    VPU/latency-bound, and the paired decode's extra integer ops + lane
+    concats cost more than the saved bytes (measured per-call on v5e,
+    tools/R3_RESULTS.jsonl kern_* rows: 4096x4096 84->86 us, 12288x4096
+    177->202, 22016x4096 245->282, 4096x11008 208->249; whole-model bs=1
+    decode 86 -> 65 tok/s). The layout still stores weights in ~6.5
+    bits/w vs 8 — opt in when HBM capacity (fitting a bigger model per
+    chip), not decode speed, is the binding constraint."""
+    return os.environ.get("QFA_RVQ_PAIRED", "0") == "1"
+
+
+def paired_wp(Gp: int) -> int:
+    """Parity-plane lane width: smallest 128-multiple dividing Gp that
+    covers Gp groups in <= 16 two-bit fields."""
+    for k in range(1, Gp // 128 + 1):
+        w = 128 * k
+        if Gp % w == 0 and 16 * w >= Gp:
+            return w
+    return Gp
 
 
 @jax.tree_util.register_dataclass
@@ -65,6 +116,9 @@ class QuantizedTensor:
     q_in: int = dataclasses.field(metadata=dict(static=True))
     opt_resid_scale: float = dataclasses.field(
         default=-1.0, metadata=dict(static=True))
+    # "nibble" (module docstring top) or "paired" (E8P12RVQ4B only)
+    layout: str = dataclasses.field(
+        default="nibble", metadata=dict(static=True))
 
     @property
     def codebook(self) -> Codebook:
@@ -75,7 +129,10 @@ class QuantizedTensor:
     @property
     def decode_affine(self):
         """Per-plane-set static (alpha, beta): weight = sum_s alpha_s*nib_s
-        + sum_s beta_s over the word planes, in sorted plane-key order."""
+        + sum_s beta_s over the word planes, in sorted plane-key order.
+        Only meaningful for the nibble layout — paired planes decode via
+        the u-code math (see module docstring)."""
+        assert self.layout == "nibble", "decode_affine on paired layout"
         return decode_affine(self.codebook_id, self.opt_resid_scale)
 
 
@@ -167,11 +224,139 @@ def _nibble_vals_from_words(words: np.ndarray) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------- paired RVQ4B helpers
+
+def _e8p_uv_from_idx(idx16: np.ndarray):
+    """(..., ) uint16 E8P codes -> (u (..., 8) in {0..5}, parity (...,))
+    with weight = u - 2.25 - 0.5*parity (parity uniform per codeword)."""
+    vals = e8p12.full_grid()[idx16.astype(np.int64)]          # (..., 8)
+    nib = np.rint(vals * 2 + 5.5).astype(np.int64)
+    p = 1 - (nib[..., 0] & 1)                                 # shared
+    u = (nib - 1 + p[..., None]) >> 1
+    assert u.min() >= 0 and u.max() <= 5
+    return u, p
+
+
+def _paired_planes_from_idx(u32: np.ndarray, q_out: int, q_in: int
+                            ) -> Dict[str, jax.Array]:
+    """RVQ4B raw codes (q_out, G) u32 (main<<16 | resid) -> paired planes."""
+    G = q_in // 8
+    u0, p0 = _e8p_uv_from_idx((u32 >> 16).astype(np.uint16))  # (q_out, G, 8)
+    u1, p1 = _e8p_uv_from_idx((u32 & 0xFFFF).astype(np.uint16))
+    Gp = -(-G // 256) * 256
+    Gh, Wp = Gp // 2, paired_wp(Gp)
+    lo4 = u0 | ((u1 & 1) << 3)                                # (q_out, G, 8)
+    L = np.zeros((q_out, Gp), dtype=np.int64)
+    for i in range(8):
+        L[:, :G] |= lo4[..., i] << (4 * i)
+    hi = u1 >> 1                                              # (q_out, G, 8)
+    H = np.zeros((q_out, Gh), dtype=np.int64)
+    for h in (0, 1):
+        lo_g, hi_g = h * Gh, min((h + 1) * Gh, G)
+        if lo_g >= G:
+            break
+        n = hi_g - lo_g
+        for i in range(8):
+            H[:, :n] |= hi[:, lo_g:hi_g, i] << (16 * h + 2 * i)
+    pp = p0 | (p1 << 1)                                       # (q_out, G)
+    P = np.zeros((q_out, Wp), dtype=np.int64)
+    for j in range(Gp // Wp):
+        lo_g, hi_g = j * Wp, min((j + 1) * Wp, G)
+        if lo_g >= G:
+            break
+        P[:, : hi_g - lo_g] |= pp[:, lo_g:hi_g] << (2 * j)
+    return {
+        "w0": jnp.asarray(L.astype(np.uint32).view(np.int32)),
+        "w1": jnp.asarray(H.astype(np.uint32).view(np.int32)),
+        "w2": jnp.asarray(P.astype(np.uint32).view(np.int32)),
+    }
+
+
+def paired_to_nibble(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """Re-encode a paired-layout tensor into the nibble layout, purely at
+    the (u, parity) level: nib = 2u + 1 - p needs no grid membership, so
+    this also works for random-plane bench models whose codes are not
+    actual codewords (unlike to_raw_idxs). Exact by construction."""
+    assert qt.layout == "paired" and qt.codebook_id == "E8P12RVQ4B"
+    G = qt.q_in // 8
+    L = np.asarray(qt.planes["w0"]).view(np.uint32).astype(np.int64)
+    Hw = np.asarray(qt.planes["w1"]).view(np.uint32).astype(np.int64)
+    Pw = np.asarray(qt.planes["w2"]).view(np.uint32).astype(np.int64)
+    Gp, Wp = L.shape[1], Pw.shape[1]
+    Gh = Gp // 2
+    pp = np.concatenate([(Pw >> (2 * j)) & 3 for j in range(Gp // Wp)],
+                        axis=1)[:, :G]                    # (q_out, G)
+    p0, p1 = pp & 1, pp >> 1
+    Gn = -(-G // 128) * 128
+    W0 = np.zeros((qt.q_out, Gn), dtype=np.int64)
+    W1 = np.zeros((qt.q_out, Gn), dtype=np.int64)
+    for i in range(8):
+        lo4 = ((L >> (4 * i)) & 0xF)[:, :G]
+        hi = np.concatenate([(Hw >> (16 * h + 2 * i)) & 3 for h in (0, 1)],
+                            axis=1)[:, :G]
+        u0, b = lo4 & 7, lo4 >> 3
+        u1 = 2 * hi + b
+        W0[:, :G] |= (2 * u0 + 1 - p0) << (4 * i)
+        W1[:, :G] |= (2 * u1 + 1 - p1) << (4 * i)
+    planes = {"w0": jnp.asarray(W0.astype(np.uint32).view(np.int32)),
+              "w1": jnp.asarray(W1.astype(np.uint32).view(np.int32))}
+    return QuantizedTensor(planes, qt.codebook_id, qt.q_out, qt.q_in,
+                           qt.opt_resid_scale, layout="nibble")
+
+
+def _e8p_idx_from_nibs(nib: np.ndarray) -> np.ndarray:
+    """(..., 8) int nibbles in {0..11} -> uint16 E8P codes."""
+    keys = _vals_key(nib.astype(np.float64) * 0.5 - 2.75)
+    skeys, order = _e8p_inverse_keys()
+    pos = np.searchsorted(skeys, keys)
+    assert np.array_equal(skeys[pos], keys), "non-codeword in paired plane"
+    return order[pos].astype(np.uint16)
+
+
+def _paired_idx_from_planes(qt: "QuantizedTensor") -> np.ndarray:
+    """Paired planes -> RVQ4B raw codes (exact inverse)."""
+    G = qt.q_in // 8
+    L = np.asarray(qt.planes["w0"]).view(np.uint32).astype(np.int64)
+    Hw = np.asarray(qt.planes["w1"]).view(np.uint32).astype(np.int64)
+    Pw = np.asarray(qt.planes["w2"]).view(np.uint32).astype(np.int64)
+    Gp, Wp = L.shape[1], Pw.shape[1]
+    Gh = Gp // 2
+    lo4 = np.stack([(L >> (4 * i)) & 0xF for i in range(8)], axis=-1)
+    hi_halves = [
+        np.stack([(Hw >> (16 * h + 2 * i)) & 3 for i in range(8)], axis=-1)
+        for h in (0, 1)
+    ]
+    hi = np.concatenate(hi_halves, axis=1)                    # (q_out, Gp, 8)
+    pp = np.concatenate([(Pw >> (2 * j)) & 3 for j in range(Gp // Wp)],
+                        axis=1)                               # (q_out, Gp)
+    u0, b = lo4 & 7, lo4 >> 3
+    u1 = 2 * hi + b
+    p0, p1 = pp & 1, pp >> 1
+    nib0 = 2 * u0[:, :G] + 1 - p0[:, :G, None]
+    nib1 = 2 * u1[:, :G] + 1 - p1[:, :G, None]
+    main = _e8p_idx_from_nibs(nib0).astype(np.int64)
+    resid = _e8p_idx_from_nibs(nib1).astype(np.int64)
+    return ((main << 16) | resid).astype(np.uint32).view(np.int32)
+
+
 # ------------------------------------------------- raw idx <-> runtime
 
 def from_raw_idxs(cb: Codebook, idxs: np.ndarray,
-                  q_out: int, q_in: int) -> QuantizedTensor:
-    """Raw int32 code indices (q_out, q_in/codesz) -> runtime planes."""
+                  q_out: int, q_in: int,
+                  layout: str | None = None) -> QuantizedTensor:
+    """Raw int32 code indices (q_out, q_in/codesz) -> runtime planes.
+
+    ``layout``: None picks the default runtime layout (paired for
+    E8P12RVQ4B when QFA_RVQ_PAIRED, else nibble)."""
+    if layout is None:
+        layout = ("paired" if cb.id == "E8P12RVQ4B" and rvq_paired_default()
+                  else "nibble")
+    if layout == "paired":
+        assert cb.id == "E8P12RVQ4B", cb.id
+        u = np.ascontiguousarray(idxs).view(np.uint32).astype(np.int64)
+        planes = _paired_planes_from_idx(u, q_out, q_in)
+        return QuantizedTensor(planes, cb.id, q_out, q_in,
+                               float(cb.opt_resid_scale), layout="paired")
     if cb.id == "E8P12":
         w0 = _e8p_words_from_idx(idxs.astype(np.int64).astype(np.uint16))
         planes = {"w0": jnp.asarray(_pad_cols(w0))}
@@ -215,6 +400,8 @@ def to_raw_idxs(qt: QuantizedTensor) -> np.ndarray:
     """Runtime planes -> raw int32 code indices (exact inverse)."""
     cb = qt.codebook
     ncols = qt.q_in // 8
+    if qt.layout == "paired":
+        return _paired_idx_from_planes(qt)
     if cb.id == "E8P12":
         w0 = np.asarray(qt.planes["w0"])[:, :ncols]
         return _e8p_idx_from_words(w0).astype(np.int64).astype(

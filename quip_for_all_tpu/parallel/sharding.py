@@ -83,7 +83,12 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
 
     col = role == "col"
     shard_out = col and _divides(p.q_out, tp)
-    shard_in = (not col) and _divides(p.q_in, tp)
+    # the paired RVQ4B layout's half/parity planes are not column-local
+    # (a plane column covers groups in two disjoint ranges), so row-
+    # parallel paired layers replicate their planes instead of sharding
+    # the q_in axis
+    shard_in = (not col) and _divides(p.q_in, tp) \
+        and p.qweight.layout != "paired"
 
     def plane_spec(arr):
         # all runtime planes are (q_out, cols(q_in))
@@ -96,7 +101,8 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
     planes = {k: plane_spec(v) for k, v in p.qweight.planes.items()}
     qt_spec = type(p.qweight)(planes, p.qweight.codebook_id,
                               p.qweight.q_out, p.qweight.q_in,
-                              p.qweight.opt_resid_scale)
+                              p.qweight.opt_resid_scale,
+                              layout=p.qweight.layout)
     return dc.replace(
         p,
         qweight=qt_spec,

@@ -70,6 +70,23 @@ def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
     if cb.id == "E8P12":
         planes = {"w0": jnp.asarray(rand_words(e8p_mask, e8p_par))}
     elif cb.id == "E8P12RVQ4B":
+        from ..ops.qtensor import paired_wp, rvq_paired_default
+        if rvq_paired_default():
+            # paired ~6.5-bit layout (ops/qtensor.py): u0 in {0..3},
+            # random u1-low bit per nibble; u1-high fields in {0,1};
+            # random parity pairs
+            Gpp = -(-G // 256) * 256
+            def rw(cols, mask):
+                key = jax.random.PRNGKey(int(rng.integers(0, 1 << 31)))
+                r = jax.random.bits(key, (q_out, cols), jnp.uint32)
+                return jax.lax.bitcast_convert_type(
+                    r & jnp.uint32(mask), jnp.int32)
+            planes = {"w0": rw(Gpp, 0xBBBBBBBB),
+                      "w1": rw(Gpp // 2, 0x55555555),
+                      "w2": rw(paired_wp(Gpp), 0xFFFFFFFF)}
+            ors = getattr(cb, "opt_resid_scale", -1.0)
+            return QuantizedTensor(planes, cb.id, q_out, q_in, float(ors),
+                                   layout="paired")
         planes = {"w0": jnp.asarray(rand_words(e8p_mask, e8p_par)),
                   "w1": jnp.asarray(rand_words(e8p_mask, e8p_par))}
     elif cb.id == "E8P12RVQ3B":
