@@ -79,7 +79,13 @@ def _variant() -> tuple:
       18% gap to pure streaming); chunking shrinks that bubble to
       ~1/(N*grid+1) while keeping each DMA >= 128 lanes wide.
     """
-    return (int(os.environ.get("QFA_F32_SMALL_M", "0")),
+    # QFA_F32_SMALL_M default 8 (covers bs<=8 decode, whose x pads to 8
+    # rows): bit-identical by construction and the fastest measured
+    # variant on hardware (r3 7B sweep: 144.0 vs 142.4 base; the bench's
+    # auto-variant probe confirmed greedy-token equality). Kept below the
+    # bs=32 shapes, which were benched with bf16 dots and where f32's
+    # 1/4 MXU rate could bite.
+    return (int(os.environ.get("QFA_F32_SMALL_M", "8")),
             os.environ.get("QFA_DIRECT_CVT", "0") == "1",
             int(os.environ.get("QFA_MAGIC_SMALL_M", "0")),
             int(os.environ.get("QFA_TN", "0")),

@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--quantize-head", action="store_true",
                     help="quantize lm_head too (reproduces the 5x "
                          "whole-model regression under investigation)")
+    ap.add_argument("--attn-window", type=int, default=0,
+                    help="static attention window (the production decode "
+                    "protocol — avoids the per-layer bucket lax.switch); "
+                    "0 = the runtime switch ladder")
+    ap.add_argument("--top", type=int, default=0,
+                    help="also print the N largest INDIVIDUAL ops with "
+                    "their long_name (which fusion/copy is the time)")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +77,7 @@ def main():
 
     caches = init_kv_caches(cfg, 1, args.cache_len, dtype=jnp.bfloat16)
 
+    attn_window = args.attn_window or None
     if args.scan:
         def decode_many(params, caches, tok, pos):
             def body(carry, _):
@@ -77,7 +85,7 @@ def main():
                 logits, caches = M.model_apply(
                     cfg, params, tok[:, None], positions=pos[:, None],
                     kv_caches=caches, cache_position=pos[0],
-                    dtype=jnp.bfloat16)
+                    dtype=jnp.bfloat16, attn_window=attn_window)
                 nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
                 return (caches, nxt, pos + 1), nxt
             (caches, tok, pos), toks = jax.lax.scan(
@@ -152,6 +160,19 @@ def main():
     for name, dur in agg.most_common(args.buckets):
         print(f"{dur/nsteps:9.1f} us/step  n={cnt[name]/nsteps:<6.1f} "
               f"{name}")
+    if args.top:
+        per_op = collections.Counter()
+        names = {}
+        for e in ev:
+            per_op[e["name"]] += e["dur"]
+            a = e.get("args") or {}
+            names.setdefault(e["name"],
+                             a.get("long_name", a.get("shape_with_layout",
+                                                      "")))
+        print(f"# top {args.top} individual ops:")
+        for name, dur in per_op.most_common(args.top):
+            print(f"{dur/nsteps:9.1f} us/step  {name}  "
+                  f"{names[name][:140]}")
 
 
 if __name__ == "__main__":
