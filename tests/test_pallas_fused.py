@@ -213,3 +213,41 @@ def test_fused_forced_tn_variant(rng, monkeypatch):
             jnp.asarray(x), qt))
         rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 2e-5, (tn, rel)
+
+
+@pytest.mark.parametrize("name", ["E8P12RVQ4B", "E8P12RVQ3B"])
+def test_fused_combine_planes_matches_base(name, rng, monkeypatch):
+    """QFA_COMBINE_PLANES pre-adds the residual stage's value plane in f32
+    (v = n0 + (alpha1/alpha0)*n1) and halves the dot sweep; must match the
+    dense decode within f32 tolerance (the dot runs at HIGHEST precision
+    because the combined plane is fractional) including the scale_vec
+    epilogue."""
+    cb = get_codebook(name)
+    q_out, q_in = 256, 1024
+    n = _n_codes(cb)
+    vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
+                        dtype=np.uint64)
+    qt = from_raw_idxs(cb, vals.astype(np.uint32).view(np.int32),
+                       q_out, q_in)
+    m = 3
+    x = rng.standard_normal((m, q_in)).astype(np.float32)
+    sv = rng.standard_normal(q_out).astype(np.float32)
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    ref = (x @ W.T) * sv[None, :]
+
+    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+    xg = x.reshape(m, G, 8).transpose(0, 2, 1)
+    xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
+
+    monkeypatch.setenv("QFA_COMBINE_PLANES", "8")
+    out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        jnp.asarray(xg), qt, scale_vec=jnp.asarray(sv)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (name, rel)
+
+    # m above the combine threshold falls back to the split form
+    monkeypatch.setenv("QFA_COMBINE_PLANES", "2")
+    out2 = np.asarray(dequant_pallas.fused_quant_matmul(jnp.asarray(x), qt))
+    ref2 = x @ W.T
+    rel2 = np.abs(out2 - ref2).max() / (np.abs(ref2).max() + 1e-9)
+    assert rel2 < 2e-5, (name, rel2)
