@@ -25,6 +25,9 @@ def main(argv=None):
                     help="shard the sequence dim over this many devices "
                     "(ring-attention sequence parallelism) — evaluate "
                     "windows longer than one device's memory")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="sampling seed for the eval window draw (use a "
+                    "seed distinct from calibration for synthetic data)")
     args = ap.parse_args(argv)
 
     from ..data.calibration import get_calibration_tokens
@@ -38,7 +41,8 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(args.tokenizer
                                                   or args.model_path)
     toks = get_calibration_tokens(args.dataset, tokenizer, args.nsamples,
-                                  args.seqlen, split=args.split,
+                                  args.seqlen, seed=args.seed,
+                                  split=args.split,
                                   vocab_size=cfg.vocab_size)
     sp_mesh = None
     if args.sp > 1:

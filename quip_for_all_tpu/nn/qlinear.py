@@ -65,13 +65,16 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
         return None
     try:
         from ..ops.dequant_pallas import (can_fuse_right,
-                                          fused_quant_matmul_pre, supports)
+                                          fused_quant_matmul_pre, supports,
+                                          x_split)
         if not supports(qt):
             return None
     except Exception:
         return None
     xg = matmul_hadUt_grouped(x, spec, qt.planes["w0"].shape[1],
-                              scale=scale)
+                              scale=scale,
+                              split=x_split() if qt.layout == "nibble"
+                              else 1)
     if xg is None:
         return None
     right_hb = None

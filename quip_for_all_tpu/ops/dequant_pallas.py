@@ -86,6 +86,16 @@ def _variant() -> tuple:
       form only by f32 summation order (rs*n1 rounds before the dot
       instead of after); the greedy-token A/B gate treats it as a
       separate base.
+    QFA_SPLIT_DECODE=P (2 or 4) — bitcast the int32 word plane to
+      int(32/P) subwords before extraction: one packed shift/mask then
+      covers P positions at once, cutting the per-word integer-op count
+      from 14 to 6 (P=2) / 2 (P=4) and the dot count from 8 to 8/P
+      full-width dots. Motivated by the r4 trace: the kernels run at
+      72-76% of their DMA floor because the VPU decode doesn't fully
+      hide under the plane stream. Requires the matching x lane layout
+      (matmul_hadUt_grouped(split=P) — the permutation folds into the
+      prologue's H_B row permutation for free); callers read x_split()
+      at trace time so prologue and kernel always agree.
     """
     # QFA_F32_SMALL_M default 8 (covers bs<=8 decode, whose x pads to 8
     # rows): bit-identical by construction and the fastest measured
@@ -98,7 +108,17 @@ def _variant() -> tuple:
             int(os.environ.get("QFA_MAGIC_SMALL_M", "0")),
             int(os.environ.get("QFA_TN", "0")),
             int(os.environ.get("QFA_KSPLIT", "0")),
-            int(os.environ.get("QFA_COMBINE_PLANES", "0")))
+            int(os.environ.get("QFA_COMBINE_PLANES", "0")),
+            int(os.environ.get("QFA_SPLIT_DECODE", "0")))
+
+
+def x_split() -> int:
+    """The subword-decode split P the kernel expects x to be laid out for
+    (1 = classic position-plane layout). Trace-time read, like every
+    variant knob; prologue emitters must pass this to
+    matmul_hadUt_grouped(split=...) so x and kernel agree."""
+    v = int(os.environ.get("QFA_SPLIT_DECODE", "0"))
+    return v if v in (2, 4) else 1
 
 
 def _nibble(w_i32, i: int):
@@ -118,6 +138,8 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
                  right_b: int, variant=(0, False, 0)):
     f32_small_m, direct_cvt, magic_small_m = (tuple(variant) + (0,))[:3]
     combine_small_m = variant[5] if len(variant) > 5 else 0
+    split = variant[6] if len(variant) > 6 else 0
+    split = split if split in (2, 4) else 1
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
@@ -135,7 +157,8 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
         # MXU's full bf16 rate — f32 dots run at ~1/4 rate on v5e and were
         # pure overhead; accumulation stays f32 via preferred_element_type
         x = x_ref[...]                                 # (m, 8G)
-        magic = bool(magic_small_m and x.shape[0] <= magic_small_m)
+        magic = bool(magic_small_m and x.shape[0] <= magic_small_m
+                     and split == 1)   # the OR trick needs i32 fields
         # combined residual decode (see _variant QFA_COMBINE_PLANES): the
         # pre-added value plane is fractional (rs*n1), so its dot must run
         # in f32 — force the f32 small-m path
@@ -143,6 +166,27 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
                        and x.shape[0] <= combine_small_m)
         if magic or combine or (f32_small_m and x.shape[0] <= f32_small_m):
             x = x.astype(jnp.float32)                  # tiny; dots in f32
+
+        def fields(w_ref):
+            """(x_lo, x_hi, packed int field) per extraction — one per
+            position (split == 1) or one per subword nibble index q
+            covering `split` positions at once (QFA_SPLIT_DECODE)."""
+            if split == 1:
+                w = pltpu.bitcast(w_ref[...], jnp.int32)
+                return [(i * G, (i + 1) * G, _nibble(w, i))
+                        for i in range(8)]
+            SW = jnp.int16 if split == 2 else jnp.int8
+            wb = pltpu.bitcast(w_ref[...], SW)         # (TN, split*G)
+            nq = 8 // split
+            out = []
+            for q in range(nq):
+                f = (wb if q == 0
+                     else jax.lax.shift_right_logical(
+                         wb, jnp.asarray(4 * q, SW)))
+                if q != nq - 1:
+                    f = f & jnp.asarray(0xF, SW)
+                out.append((q * split * G, (q + 1) * split * G, f))
+            return out
 
         def cvt(v_i32):
             if magic:
@@ -162,18 +206,18 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
             # codebooks' dot sweep (16 -> 8); alpha_0 scales the single
             # f32 accumulator in the epilogue
             a0 = affine[0][0]
-            ws = [pltpu.bitcast(w_ref[...], jnp.int32) for w_ref in w_refs]
+            flists = [fields(w_ref) for w_ref in w_refs]
             acc = None
-            for i in range(8):
-                v = cvt(_nibble(ws[0], i))
-                for (alpha, _), w in zip(affine[1:], ws[1:]):
-                    v = v + (alpha / a0) * cvt(_nibble(w, i))
+            for idx, (lo, hi, f0) in enumerate(flists[0]):
+                v = cvt(f0)
+                for (alpha, _), fl in zip(affine[1:], flists[1:]):
+                    v = v + (alpha / a0) * cvt(fl[idx][2])
                 # HIGHEST: TPU f32 dots truncate inputs to bf16 by default
                 # (fine for integer nibbles, lossy for the fractional
                 # combined plane); 3-pass bf16x3 is exact to f32 and still
                 # trivial at decode m
                 part = jax.lax.dot_general(
-                    x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+                    x[:, lo:hi], v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
                 acc = part if acc is None else acc + part
@@ -195,8 +239,8 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
             return
         out = None
         for (alpha, _), w_ref in zip(affine, w_refs):
-            w = pltpu.bitcast(w_ref[...], jnp.int32)
-            if _CONCAT_DOT:
+            if _CONCAT_DOT and split == 1:
+                w = pltpu.bitcast(w_ref[...], jnp.int32)
                 vt = jnp.concatenate(
                     [cvt(_nibble(w, i)) for i in range(8)],
                     axis=1)                            # (TN, 8G)
@@ -205,10 +249,10 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
                     preferred_element_type=jnp.float32)
             else:
                 acc = None
-                for i in range(8):
-                    v = cvt(_nibble(w, i))
+                for lo, hi, f in fields(w_ref):
+                    v = cvt(f)
                     part = jax.lax.dot_general(
-                        x[:, i * G:(i + 1) * G], v, (((1,), (1,)), ((), ())),
+                        x[:, lo:hi], v, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     acc = part if acc is None else acc + part
             acc = acc * alpha
@@ -471,7 +515,8 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
-    ksplit = 1 if paired else _pick_ksplit(
+    split_decode = (variant[6] if len(variant) > 6 else 0) in (2, 4)
+    ksplit = 1 if (paired or split_decode) else _pick_ksplit(
         variant[4] if len(variant) > 4 else 0, Gp)
     if ksplit > 1 and m <= 32:
         Gc = Gp // ksplit
@@ -581,10 +626,13 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     assert q_in == qt.q_in
     G = q_in // 8
     Gp = qt.planes["w0"].shape[1]
-    # grouped permutation of x (see module docstring), padded to Gp
-    x_perm = x.reshape(m, G, 8).transpose(0, 2, 1)        # (m, 8, G)
+    # grouped permutation of x (see module docstring + x_split), padded
+    P = x_split() if qt.layout == "nibble" else 1
+    nq = 8 // P
+    # natural index 8g + nq*j + q -> lane q*(P*Gp) + g*P + j
+    x_perm = (x.reshape(m, G, P, nq).transpose(0, 3, 1, 2))  # (m,nq,G,P)
     if Gp != G:
-        x_perm = jnp.pad(x_perm, ((0, 0), (0, 0), (0, Gp - G)))
+        x_perm = jnp.pad(x_perm, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     x_perm = x_perm.reshape(m, 8 * Gp)
     return fused_quant_matmul_pre(x_perm, qt)
 
@@ -647,6 +695,10 @@ def _fused_core_bwd(meta, res, g):
     of W, so the rank-1 rowsum correction needs no special casing)."""
     affine, q_out, q_in, out_dtype_str, cb_id, ors = meta[:6]
     layout = meta[7] if len(meta) > 7 else "nibble"
+    variant = meta[6] if len(meta) > 6 else ()
+    P = variant[6] if len(variant) > 6 and layout == "nibble" else 1
+    P = P if P in (2, 4) else 1
+    nq = 8 // P
     x_perm, planes, scale_vec, right_hb = res
     from .dequant_xla import decode_weights
     qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},
@@ -663,16 +715,18 @@ def _fused_core_bwd(meta, res, g):
     W = decode_weights(qt, dtype=jnp.float32)          # (q_out, q_in)
     ds = None
     if scale_vec is not None:
-        x_nat = (x_perm.reshape(mp, 8, Gp)[:, :, :G]
-                 .transpose(0, 2, 1).reshape(mp, q_in)
+        # invert the (split-aware) grouped permutation: lane
+        # q*(P*Gp) + g*P + j <- natural 8g + nq*j + q
+        x_nat = (x_perm.reshape(mp, nq, Gp, P)[:, :, :G, :]
+                 .transpose(0, 2, 3, 1).reshape(mp, q_in)
                  .astype(jnp.float32))
         out0 = x_nat @ W.T
         ds = (gg * out0).sum(axis=0).astype(scale_vec.dtype)
         gg = gg * scale_vec.astype(jnp.float32)[None, :]
     dx_nat = gg @ W                                    # (mp, q_in)
-    dxg = dx_nat.reshape(mp, G, 8).transpose(0, 2, 1)
+    dxg = dx_nat.reshape(mp, G, P, nq).transpose(0, 3, 1, 2)
     if Gp != G:
-        dxg = jnp.pad(dxg, ((0, 0), (0, 0), (0, Gp - G)))
+        dxg = jnp.pad(dxg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     dx = dxg.reshape(mp, 8 * Gp).astype(x_perm.dtype)
     f0 = jax.dtypes.float0
     dplanes = tuple(np.zeros(p.shape, f0) for p in planes)

@@ -240,16 +240,27 @@ def finish_right(Y: jax.Array, spec: HadSpec,
 
 
 def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
-                         scale: Optional[float | jax.Array] = None
-                         ) -> Optional[jax.Array]:
+                         scale: Optional[float | jax.Array] = None,
+                         split: int = 1) -> Optional[jax.Array]:
     """``matmul_hadUt`` emitted directly in the Pallas kernel's grouped-
-    permuted layout: returns (m, 8*Gp) with
+    permuted layout. With ``split == 1`` returns (m, 8*Gp) with
 
         out[:, i*Gp + g] = (X @ U)[:, 8*g + i]   for g < G = padN // 8
         out[:, i*Gp + g] = 0                     for g >= G (plane padding)
 
     so the fused decode+matmul kernel (ops/dequant_pallas.py) can consume
     it without the separate reshape/transpose x-permutation.
+
+    ``split`` = P in {1, 2, 4} matches the kernel's subword decode
+    (QFA_SPLIT_DECODE): the int32 word plane is bitcast to int(32/P)
+    subwords, whose lane layout puts subword j of group g at lane P*g+j
+    holding nibbles i = (8/P)*j + q. The matching x layout is
+
+        out[:, q*(P*Gp) + P*g + j] = (X @ U)[:, 8*g + (8/P)*j + q]
+
+    — position-plane-major (q), then group-major with the subword index
+    minor, so each decoded packed plane dots against one contiguous x
+    slice.
 
     The permutation is FREE inside the transform: the Sylvester factor
     H_B satisfies H_B[pi(x), pi(y)] = H_B[x, y] for any permutation pi of
@@ -270,6 +281,7 @@ def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
     if n != spec.padN:
         X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, spec.padN - n)])
     assert X.ndim == 2, "grouped prologue expects (m, n) input"
+    assert split in (1, 2, 4), split
     m = X.shape[0]
     G = spec.padN // 8
     e = M.bit_length() - 1
@@ -280,13 +292,15 @@ def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
     had_scale = 1.0 / math.sqrt(M)
     if scale is not None:
         had_scale = had_scale * scale
-    # row-permuted Sylvester factor: output lane l = i*(B/8) + c carries
-    # transformed coefficient b' = c*8 + i
+    P, nq = split, 8 // split
     HB = sylvester(eb)
     C = B // 8
-    # sigma maps output lane l = i*C + c to coefficient b' = c*8 + i
-    ii, cc = np.divmod(np.arange(B), C)
-    sigma = cc * 8 + ii
+    # sigma maps output lane l = q*(B*P//8) + c*P + j to coefficient
+    # b' = c*8 + (8//P)*j + q  (P == 1 reduces to l = i*C + c, b' = c*8+i)
+    ll = np.arange(B)
+    qq, r = np.divmod(ll, B * P // 8)
+    cc, jj = np.divmod(r, P)
+    sigma = cc * 8 + nq * jj + qq
     HBp = jnp.asarray(HB[sigma] * had_scale, dtype=dt)     # (B, B) rows
     Ha = jnp.asarray(sylvester(ea), dtype=dt)
     Y = X.reshape(m, s, K, A, B)
@@ -297,9 +311,10 @@ def matmul_hadUt_grouped(X: jax.Array, spec: HadSpec, Gp: int,
         hadK = jnp.asarray(spec.hadK, dtype=dt)
         # hadUt: contract with hadK (not transposed): out_j = sum_k Y_k H_kj
         Y = jnp.einsum("mskxl,kj->msjxl", Y, hadK)
-    # split l = (i, c), move i out: (m, s, K, A, 8, C) -> (m, 8, s*K*A*C)
-    Y = Y.reshape(m, s, K, A, 8, C)
-    Y = jnp.moveaxis(Y, 4, 1).reshape(m, 8, G)
+    # split l = (q, c, j): move q out, keep (s,K,A,c) group-major with j
+    # minor: (m, s, K, A, nq, C*P) -> (m, nq, G, P)
+    Y = Y.reshape(m, s, K, A, nq, C * P)
+    Y = jnp.moveaxis(Y, 4, 1).reshape(m, nq, G, P)
     if Gp != G:
-        Y = jnp.pad(Y, ((0, 0), (0, 0), (0, Gp - G)))
+        Y = jnp.pad(Y, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     return Y.reshape(m, 8 * Gp)
