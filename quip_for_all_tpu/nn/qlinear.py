@@ -65,16 +65,13 @@ def _grouped_prologue_matmul(x, spec, qt, scale, compute_dtype,
         return None
     try:
         from ..ops.dequant_pallas import (can_fuse_right,
-                                          fused_quant_matmul_pre, supports,
-                                          x_split)
+                                          fused_quant_matmul_pre, supports)
         if not supports(qt):
             return None
     except Exception:
         return None
-    xg = matmul_hadUt_grouped(x, spec, qt.planes["w0"].shape[1],
-                              scale=scale,
-                              split=x_split() if qt.layout == "nibble"
-                              else 1)
+    xg = matmul_hadUt_grouped(x, spec, qt.group_cols, scale=scale,
+                              split=qt.split)
     if xg is None:
         return None
     right_hb = None

@@ -119,12 +119,14 @@ def stack_qlinears(groups: List[List[QuantLinearParams]]
     if p0.qweight.layout != "nibble":
         # the sparse scalar-prefetch MoE kernel decodes nibble planes;
         # experts loaded in the paired RVQ4B layout re-encode here (one
-        # host roundtrip at fuse time, exact by construction)
-        from ..ops.qtensor import paired_to_nibble
+        # host roundtrip at fuse time, exact by construction) and the
+        # sw subword layouts bitcast back on device
+        from ..ops.qtensor import from_subword, paired_to_nibble
         import dataclasses as _dc
+        back = (paired_to_nibble if p0.qweight.layout == "paired"
+                else from_subword)
         groups = [
-            [_dc.replace(p, qweight=paired_to_nibble(p.qweight))
-             for p in g]
+            [_dc.replace(p, qweight=back(p.qweight)) for p in g]
             for g in groups
         ]
         g0 = groups[0]

@@ -86,16 +86,17 @@ def _variant() -> tuple:
       form only by f32 summation order (rs*n1 rounds before the dot
       instead of after); the greedy-token A/B gate treats it as a
       separate base.
-    QFA_SPLIT_DECODE=P (2 or 4) — bitcast the int32 word plane to
-      int(32/P) subwords before extraction: one packed shift/mask then
-      covers P positions at once, cutting the per-word integer-op count
-      from 14 to 6 (P=2) / 2 (P=4) and the dot count from 8 to 8/P
-      full-width dots. Motivated by the r4 trace: the kernels run at
-      72-76% of their DMA floor because the VPU decode doesn't fully
-      hide under the plane stream. Requires the matching x lane layout
-      (matmul_hadUt_grouped(split=P) — the permutation folds into the
-      prologue's H_B row permutation for free); callers read x_split()
-      at trace time so prologue and kernel always agree.
+    Subword decode (NOT a variant knob): when the tensor's runtime
+      layout is "sw2"/"sw4" (QFA_SPLIT_DECODE at LOAD time,
+      ops/qtensor.py subword_split_default), the planes arrive as
+      int16/int8 subword arrays and one packed shift/mask covers P
+      positions at once — per-word integer ops drop 14 -> 6 (P=2) / 2
+      (P=4) and the dot sweep 8 -> 8/P. Motivated by the r4 trace: the
+      kernels ran at 72-76% of their DMA floor because the VPU decode
+      doesn't fully hide under the plane stream. The matching x lane
+      layout comes from matmul_hadUt_grouped(split=P) (the permutation
+      folds into the prologue's H_B row permutation for free); callers
+      derive split from qt.split so x and kernel always agree.
     """
     # QFA_F32_SMALL_M default 8 (covers bs<=8 decode, whose x pads to 8
     # rows): bit-identical by construction and the fastest measured
@@ -108,17 +109,10 @@ def _variant() -> tuple:
             int(os.environ.get("QFA_MAGIC_SMALL_M", "0")),
             int(os.environ.get("QFA_TN", "0")),
             int(os.environ.get("QFA_KSPLIT", "0")),
-            int(os.environ.get("QFA_COMBINE_PLANES", "0")),
-            int(os.environ.get("QFA_SPLIT_DECODE", "0")))
+            int(os.environ.get("QFA_COMBINE_PLANES", "0")))
 
 
-def x_split() -> int:
-    """The subword-decode split P the kernel expects x to be laid out for
-    (1 = classic position-plane layout). Trace-time read, like every
-    variant knob; prologue emitters must pass this to
-    matmul_hadUt_grouped(split=...) so x and kernel agree."""
-    v = int(os.environ.get("QFA_SPLIT_DECODE", "0"))
-    return v if v in (2, 4) else 1
+_LAYOUT_SPLIT = {"nibble": 1, "paired": 1, "sw2": 2, "sw4": 4}
 
 
 def _nibble(w_i32, i: int):
@@ -135,11 +129,9 @@ def _nibble(w_i32, i: int):
 
 
 def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
-                 right_b: int, variant=(0, False, 0)):
+                 right_b: int, variant=(0, False, 0), split: int = 1):
     f32_small_m, direct_cvt, magic_small_m = (tuple(variant) + (0,))[:3]
     combine_small_m = variant[5] if len(variant) > 5 else 0
-    split = variant[6] if len(variant) > 6 else 0
-    split = split if split in (2, 4) else 1
     beta_total = float(sum(b for _, b in affine))
 
     def kernel(x_ref, *refs):
@@ -170,13 +162,14 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
         def fields(w_ref):
             """(x_lo, x_hi, packed int field) per extraction — one per
             position (split == 1) or one per subword nibble index q
-            covering `split` positions at once (QFA_SPLIT_DECODE)."""
+            covering `split` positions at once (sw2/sw4 layouts, whose
+            planes arrive already stored as int16/int8)."""
             if split == 1:
                 w = pltpu.bitcast(w_ref[...], jnp.int32)
                 return [(i * G, (i + 1) * G, _nibble(w, i))
                         for i in range(8)]
-            SW = jnp.int16 if split == 2 else jnp.int8
-            wb = pltpu.bitcast(w_ref[...], SW)         # (TN, split*G)
+            wb = w_ref[...]                            # (TN, split*G) sw
+            SW = wb.dtype
             nq = 8 // split
             out = []
             for q in range(nq):
@@ -506,7 +499,8 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
                 scale_vec=None, right_hb=None, variant=(0, False),
                 layout="nibble", rs=0.0):
     m = x_perm.shape[0]
-    Gp = planes_tuple[0].shape[1]
+    P = _LAYOUT_SPLIT[layout]
+    Gp = planes_tuple[0].shape[1] // P
     n_planes = len(planes_tuple)
     paired = layout == "paired"
     forced_tn = variant[3] if len(variant) > 3 else 0
@@ -515,8 +509,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
     assert B == 0 or TN % B == 0, (TN, B)   # caller pre-checks via can_fuse_right
-    split_decode = (variant[6] if len(variant) > 6 else 0) in (2, 4)
-    ksplit = 1 if (paired or split_decode) else _pick_ksplit(
+    ksplit = 1 if layout != "nibble" else _pick_ksplit(
         variant[4] if len(variant) > 4 else 0, Gp)
     if ksplit > 1 and m <= 32:
         Gc = Gp // ksplit
@@ -557,7 +550,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
                                      variant)
     else:
         kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None,
-                              B, variant)
+                              B, variant, split=P)
 
     # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
     # — one (m, TN) accumulator spills once m grows past a few dozen rows
@@ -625,9 +618,10 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     m, q_in = x.shape
     assert q_in == qt.q_in
     G = q_in // 8
-    Gp = qt.planes["w0"].shape[1]
-    # grouped permutation of x (see module docstring + x_split), padded
-    P = x_split() if qt.layout == "nibble" else 1
+    Gp = qt.group_cols
+    # grouped permutation of x (see module docstring), padded; the lane
+    # layout follows the tensor's subword split
+    P = qt.split
     nq = 8 // P
     # natural index 8g + nq*j + q -> lane q*(P*Gp) + g*P + j
     x_perm = (x.reshape(m, G, P, nq).transpose(0, 3, 1, 2))  # (m,nq,G,P)
@@ -640,8 +634,7 @@ def fused_quant_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
 def can_fuse_right(qt: QuantizedTensor, B: int) -> bool:
     """True if the B-side right-transform factor can run in the kernel
     epilogue for this tensor (the tile size must be a multiple of B)."""
-    Gp = qt.planes["w0"].shape[1]
-    TN = _pick_tn(qt.q_out, Gp, len(qt.planes))
+    TN = _pick_tn(qt.q_out, qt.group_cols, len(qt.planes))
     return B > 0 and TN % B == 0
 
 
@@ -660,12 +653,12 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
     pass decodes the dense weight, exactly the training-path cost) — e.g.
     LoRA training takes gradients THROUGH frozen quantized base layers."""
     m = x_perm.shape[0]
-    assert x_perm.shape[1] == 8 * qt.planes["w0"].shape[1], x_perm.shape
+    assert x_perm.shape[1] == 8 * qt.group_cols, x_perm.shape
     mp = max(8, -(-m // 8) * 8)
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
-    affine = qt.decode_affine if qt.layout == "nibble" else None
+    affine = qt.decode_affine if qt.layout != "paired" else None
     meta = (affine, qt.q_out, qt.q_in,
             np.dtype(x_perm.dtype).name, qt.codebook_id,
             float(qt.opt_resid_scale), _variant(), qt.layout)
@@ -695,16 +688,14 @@ def _fused_core_bwd(meta, res, g):
     of W, so the rank-1 rowsum correction needs no special casing)."""
     affine, q_out, q_in, out_dtype_str, cb_id, ors = meta[:6]
     layout = meta[7] if len(meta) > 7 else "nibble"
-    variant = meta[6] if len(meta) > 6 else ()
-    P = variant[6] if len(variant) > 6 and layout == "nibble" else 1
-    P = P if P in (2, 4) else 1
+    P = _LAYOUT_SPLIT[layout]
     nq = 8 // P
     x_perm, planes, scale_vec, right_hb = res
     from .dequant_xla import decode_weights
     qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},
                          cb_id, q_out, q_in, ors, layout=layout)
     mp = x_perm.shape[0]
-    Gp = planes[0].shape[1]
+    Gp = planes[0].shape[1] // P
     G = q_in // 8
     gg = g.astype(jnp.float32)
     if right_hb is not None:

@@ -71,6 +71,43 @@ from ..codebooks import e8p12, e8p12_rvq3
 from ..codebooks.d4 import d4_grid
 
 
+def subword_split_default() -> int:
+    """Runtime plane storage split P (QFA_SPLIT_DECODE in {2, 4}): word
+    planes load as int(32/P) subword arrays (layout "sw2"/"sw4", same
+    bytes, lane P*g+j = subword j of group g) so the fused kernel's
+    per-word decode is P-way packed — one shift/mask covers P positions
+    and the dot sweep shrinks 8 -> 8/P. 1 = classic int32 nibble planes.
+
+    Motivated by the r4 trace: kernels ran at 72-76% of their DMA floor
+    with the VPU nibble decode exposed."""
+    v = int(os.environ.get("QFA_SPLIT_DECODE", "0"))
+    return v if v in (2, 4) else 1
+
+
+def to_subword(qt: "QuantizedTensor", P: int) -> "QuantizedTensor":
+    """nibble -> sw{P} re-layout: pure bitcast (same bytes), on device."""
+    assert qt.layout == "nibble" and P in (2, 4)
+    SW = jnp.int16 if P == 2 else jnp.int8
+    planes = {}
+    for k, v in qt.planes.items():
+        b = jax.lax.bitcast_convert_type(v, SW)        # (q_out, Gp, P)
+        planes[k] = b.reshape(v.shape[0], v.shape[1] * P)
+    return dataclasses.replace(qt, planes=planes, layout=f"sw{P}")
+
+
+def from_subword(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """sw{P} -> nibble (exact inverse of to_subword)."""
+    P = qt.split
+    if P == 1:
+        return qt
+    planes = {}
+    for k, v in qt.planes.items():
+        cols = v.shape[1] // P
+        planes[k] = jax.lax.bitcast_convert_type(
+            v.reshape(v.shape[0], cols, P), jnp.int32)
+    return dataclasses.replace(qt, planes=planes, layout="nibble")
+
+
 def rvq_paired_default() -> bool:
     """Whether E8P12RVQ4B loads into the paired ~6.5-bit runtime layout
     (QFA_RVQ_PAIRED=1 to opt in).
@@ -116,7 +153,9 @@ class QuantizedTensor:
     q_in: int = dataclasses.field(metadata=dict(static=True))
     opt_resid_scale: float = dataclasses.field(
         default=-1.0, metadata=dict(static=True))
-    # "nibble" (module docstring top) or "paired" (E8P12RVQ4B only)
+    # "nibble" (module docstring top), "paired" (E8P12RVQ4B only), or
+    # "sw2"/"sw4" (same nibbles stored as int16/int8 subword planes —
+    # see subword_split_default)
     layout: str = dataclasses.field(
         default="nibble", metadata=dict(static=True))
 
@@ -127,12 +166,23 @@ class QuantizedTensor:
             self.opt_resid_scale if self.opt_resid_scale > 0 else None)
 
     @property
+    def split(self) -> int:
+        """Subwords per int32 word in the plane storage (1 for
+        nibble/paired)."""
+        return {"nibble": 1, "paired": 1, "sw2": 2, "sw4": 4}[self.layout]
+
+    @property
+    def group_cols(self) -> int:
+        """Logical padded group count Gp (plane columns / split)."""
+        return self.planes["w0"].shape[1] // self.split
+
+    @property
     def decode_affine(self):
         """Per-plane-set static (alpha, beta): weight = sum_s alpha_s*nib_s
         + sum_s beta_s over the word planes, in sorted plane-key order.
-        Only meaningful for the nibble layout — paired planes decode via
-        the u-code math (see module docstring)."""
-        assert self.layout == "nibble", "decode_affine on paired layout"
+        Meaningful for the nibble/subword layouts — paired planes decode
+        via the u-code math (see module docstring)."""
+        assert self.layout != "paired", "decode_affine on paired layout"
         return decode_affine(self.codebook_id, self.opt_resid_scale)
 
 
@@ -347,10 +397,18 @@ def from_raw_idxs(cb: Codebook, idxs: np.ndarray,
     """Raw int32 code indices (q_out, q_in/codesz) -> runtime planes.
 
     ``layout``: None picks the default runtime layout (paired for
-    E8P12RVQ4B when QFA_RVQ_PAIRED, else nibble)."""
+    E8P12RVQ4B when QFA_RVQ_PAIRED; sw{P} when QFA_SPLIT_DECODE; else
+    nibble)."""
     if layout is None:
-        layout = ("paired" if cb.id == "E8P12RVQ4B" and rvq_paired_default()
-                  else "nibble")
+        if cb.id == "E8P12RVQ4B" and rvq_paired_default():
+            layout = "paired"
+        elif subword_split_default() > 1:
+            layout = f"sw{subword_split_default()}"
+        else:
+            layout = "nibble"
+    if layout in ("sw2", "sw4"):
+        qt = from_raw_idxs(cb, idxs, q_out, q_in, layout="nibble")
+        return to_subword(qt, int(layout[2:]))
     if layout == "paired":
         assert cb.id == "E8P12RVQ4B", cb.id
         u = np.ascontiguousarray(idxs).view(np.uint32).astype(np.int64)
@@ -402,6 +460,8 @@ def to_raw_idxs(qt: QuantizedTensor) -> np.ndarray:
     ncols = qt.q_in // 8
     if qt.layout == "paired":
         return _paired_idx_from_planes(qt)
+    if qt.split > 1:
+        qt = from_subword(qt)
     if cb.id == "E8P12":
         w0 = np.asarray(qt.planes["w0"])[:, :ncols]
         return _e8p_idx_from_words(w0).astype(np.int64).astype(

@@ -97,7 +97,11 @@ def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
     else:
         raise ValueError(cb.id)
     ors = getattr(cb, "opt_resid_scale", -1.0)
-    return QuantizedTensor(planes, cb.id, q_out, q_in, float(ors))
+    qt = QuantizedTensor(planes, cb.id, q_out, q_in, float(ors))
+    from ..ops.qtensor import subword_split_default, to_subword
+    if subword_split_default() > 1:
+        qt = to_subword(qt, subword_split_default())
+    return qt
 
 
 def random_quantized_model(cfg: ModelConfig, codebook: str = "E8P12",

@@ -251,3 +251,52 @@ def test_fused_combine_planes_matches_base(name, rng, monkeypatch):
     ref2 = x @ W.T
     rel2 = np.abs(out2 - ref2).max() / (np.abs(ref2).max() + 1e-9)
     assert rel2 < 2e-5, (name, rel2)
+
+
+@pytest.mark.parametrize("name", ["E8P12", "E8P12RVQ4B", "D4", "HI"])
+@pytest.mark.parametrize("P", [2, 4])
+def test_subword_layout_matches_base(name, P, rng, monkeypatch):
+    """sw2/sw4 runtime layouts (int16/int8 subword planes + matching x
+    lane layout from matmul_hadUt_grouped(split=P)) must reproduce the
+    dense decode, round-trip exactly to raw idxs, and carry gradients."""
+    from quip_for_all_tpu.ops.qtensor import (from_subword, to_raw_idxs,
+                                              to_subword)
+    from quip_for_all_tpu.transforms.incoherence import (
+        get_hadK, matmul_hadUt, matmul_hadUt_grouped)
+    cb = get_codebook(name)
+    q_out, q_in = 256, 1024
+    n = _n_codes(cb)
+    vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
+                        dtype=np.uint64)
+    raw = vals.astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in, layout="nibble")
+    qs = to_subword(qt, P)
+    # exact storage round-trips
+    back = from_subword(qs)
+    for k in qt.planes:
+        assert np.array_equal(np.asarray(back.planes[k]),
+                              np.asarray(qt.planes[k]))
+    assert np.array_equal(to_raw_idxs(qs), to_raw_idxs(qt))
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    assert np.array_equal(np.asarray(decode_weights(qs, jnp.float32)), W)
+    # kernel through the grouped prologue with fused scale_vec
+    x = rng.standard_normal((3, q_in)).astype(np.float32)
+    sv = rng.standard_normal(q_out).astype(np.float32)
+    spec = get_hadK(q_in, use_rand=True, rng=np.random.default_rng(5))
+    xt = np.asarray(matmul_hadUt(jnp.asarray(x), spec, scale=1.3))
+    ref = (xt @ W.T) * sv[None, :]
+    xg = matmul_hadUt_grouped(jnp.asarray(x), spec, qs.group_cols,
+                              scale=1.3, split=P)
+    out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        xg, qs, scale_vec=jnp.asarray(sv)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-5, (name, P, rel)
+    # gradient through the sw kernel (custom VJP, split-aware layout)
+    g = jax.grad(lambda xx: dequant_pallas.fused_quant_matmul_pre(
+        xx, qs, scale_vec=jnp.asarray(sv)).sum())(xg)
+    gd = np.asarray(jax.grad(
+        lambda xx: ((xx @ W.T) * sv[None, :]).sum())(jnp.asarray(xt)))
+    G, nq = q_in // 8, 8 // P
+    gd_s = gd.reshape(3, G, P, nq).transpose(0, 3, 1, 2).reshape(3, 8 * G)
+    grel = np.abs(np.asarray(g) - gd_s).max() / (np.abs(gd_s).max() + 1e-9)
+    assert grel < 1e-4, (name, P, grel)
