@@ -126,14 +126,48 @@ def _block_sp(cfg: ModelConfig, blk: Dict[str, Any], x: jax.Array,
     return x + mlp_apply(blk["mlp"], h, linear_kw, None)
 
 
+def _block_sp_neox(cfg: ModelConfig, blk: Dict[str, Any], x: jax.Array,
+                   cos, sin, linear_kw: dict) -> jax.Array:
+    """One GPT-NeoX block on a local sequence chunk: fused interleaved
+    qkv, partial rotary, parallel residual — ring attention replacing the
+    full-window SDPA (models/gpt_neox.py block_apply is the single-device
+    analog). Second family routed through sp (VERDICT r3 #9)."""
+    from ..models.gpt2 import layer_norm
+    from ..models.gpt_neox import _apply_partial_rope, rotary_dims
+    from ..models.llama import linear_apply
+    B, Sl, D = x.shape
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+    h = layer_norm(blk["input_layernorm"], x, cfg.rms_norm_eps)
+    qkv = linear_apply(blk["attention"]["query_key_value"], h, **linear_kw)
+    qkv = qkv.reshape(B, Sl, H, 3, hd)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    q, k = _apply_partial_rope(q, k, cos, sin, rotary_dims(cfg))
+    ctx = ring_attention(q, k, v).reshape(B, Sl, H * hd)
+    a = linear_apply(blk["attention"]["dense"], ctx, **linear_kw)
+
+    def mlp(h):
+        m = linear_apply(blk["mlp"]["dense_h_to_4h"], h, **linear_kw)
+        m = jax.nn.gelu(m, approximate=True)
+        return linear_apply(blk["mlp"]["dense_4h_to_h"], m, **linear_kw)
+
+    if cfg.use_parallel_residual:
+        h2 = layer_norm(blk["post_attention_layernorm"], x,
+                        cfg.rms_norm_eps)
+        return x + a + mlp(h2)
+    x = x + a
+    h2 = layer_norm(blk["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    return x + mlp(h2)
+
+
 def sequence_parallel_logits(cfg: ModelConfig, params: Dict[str, Any],
                              input_ids: jax.Array, mesh: Mesh,
                              linear_kw: Optional[dict] = None,
                              dtype=jnp.float32) -> jax.Array:
-    """Full llama forward with the sequence dim sharded over mesh's "sp"
-    axis: (B, S) ids -> (B, S, V) logits, S % sp == 0. Params are
-    replicated; per-device activation memory is O(S / sp)."""
-    assert cfg.arch in ("llama", "baichuan"), cfg.arch
+    """Full forward with the sequence dim sharded over mesh's "sp" axis:
+    (B, S) ids -> (B, S, V) logits, S % sp == 0. Params are replicated;
+    per-device activation memory is O(S / sp). Families: llama-family
+    (incl. baichuan W_pack) and gpt_neox."""
+    assert cfg.arch in ("llama", "baichuan", "gpt_neox"), cfg.arch
     B, S = input_ids.shape
     sp = mesh.shape["sp"]
     assert S % sp == 0, (S, sp)
@@ -141,7 +175,19 @@ def sequence_parallel_logits(cfg: ModelConfig, params: Dict[str, Any],
     positions = jnp.arange(S)[None, :].repeat(B, 0)
 
     def fn(params, ids, pos):
-        from ..models import registry as R
+        from ..models.llama import linear_apply
+        if cfg.arch == "gpt_neox":
+            from ..models.gpt2 import layer_norm
+            from ..models.gpt_neox import rope_tables
+            x = jnp.take(params["embed_in"]["weight"], ids, axis=0
+                         ).astype(dtype)
+            cos, sin = rope_tables(cfg, pos)
+            for i in range(cfg.num_hidden_layers):
+                x = _block_sp_neox(cfg, params["layers"][i], x, cos, sin,
+                                   linear_kw)
+            x = layer_norm(params["final_layer_norm"], x,
+                           cfg.rms_norm_eps)
+            return linear_apply(params["embed_out"], x, **linear_kw)
         from ..models.llama import rms_norm, rope_tables
         x = jnp.take(params["embed_tokens"]["weight"], ids, axis=0
                      ).astype(dtype)
@@ -152,9 +198,7 @@ def sequence_parallel_logits(cfg: ModelConfig, params: Dict[str, Any],
         x = rms_norm(params["norm"]["weight"], x, cfg.rms_norm_eps)
         head = params.get("lm_head")
         if head is None:
-            from ..models.llama import linear_apply
             return x @ params["embed_tokens"]["weight"].astype(x.dtype).T
-        from ..models.llama import linear_apply
         return linear_apply(head, x, **linear_kw)
 
     shard = shard_map(

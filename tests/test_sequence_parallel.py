@@ -96,3 +96,22 @@ def test_sequence_parallel_jits_once():
     out = np.asarray(fn(params, ids))
     ref, _ = M.model_apply(cfg, params, ids)
     np.testing.assert_allclose(out, np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("parallel_residual", [True, False])
+def test_sequence_parallel_gpt_neox(parallel_residual):
+    """Second family through sp (VERDICT r3 #9): gpt_neox — fused
+    interleaved qkv, partial rotary, parallel residual — must match its
+    single-device forward on the 8-device mesh."""
+    from quip_for_all_tpu.models import gpt_neox as NX
+    from quip_for_all_tpu.models.config import tiny_config
+    cfg = tiny_config(num_hidden_layers=2, arch="gpt_neox",
+                      num_key_value_heads=4, rotary_pct=0.25,
+                      use_parallel_residual=parallel_residual)
+    params = NX.init_gpt_neox_params(cfg, seed=0)
+    ids = jnp.asarray(synthetic_tokens(2, 32, cfg.vocab_size, 3))
+    ref, _ = NX.model_apply(cfg, params, ids)
+    mesh = make_sp_mesh(4)
+    out = sequence_parallel_logits(cfg, params, ids, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
