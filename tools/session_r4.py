@@ -240,7 +240,21 @@ def phase_headline():
     run_bench("headline_e8p12", [])
 
 
-PHASES = {"trace": phase_trace, "window": phase_window,
+def phase_serving():
+    """Per-request latency under serving (VERDICT #8): bs=1 decode_chunk=1
+    is the honest comparison against the reference's vLLM
+    benchmark_latency ~159 tok/s row (README.md:83)."""
+    sv = os.path.join(ROOT, "tools", "bench_serving.py")
+    run_tool("serving_b1_chunk1",
+             [sv, "--max-batch", "1", "--decode-chunk", "1",
+              "--requests", "4", "--max-new", "64"], timeout_s=1500,
+             tail_lines=3)
+    run_tool("serving_b8",
+             [sv, "--max-batch", "8", "--requests", "16",
+              "--max-new", "64"], timeout_s=1500, tail_lines=3)
+
+
+PHASES = {"serving": phase_serving, "trace": phase_trace, "window": phase_window,
           "rvq4b": phase_rvq4b, "bs32": phase_bs32,
           "mixtral": phase_mixtral, "headline": phase_headline}
 
