@@ -121,10 +121,10 @@ def stack_qlinears(groups: List[List[QuantLinearParams]]
         # experts loaded in the paired RVQ4B layout re-encode here (one
         # host roundtrip at fuse time, exact by construction) and the
         # sw subword layouts bitcast back on device
-        from ..ops.qtensor import from_subword, paired_to_nibble
+        from ..ops.qtensor import from_bfp, from_subword, paired_to_nibble
         import dataclasses as _dc
-        back = (paired_to_nibble if p0.qweight.layout == "paired"
-                else from_subword)
+        back = {"paired": paired_to_nibble,
+                "bfp": from_bfp}.get(p0.qweight.layout, from_subword)
         groups = [
             [_dc.replace(p, qweight=back(p.qweight)) for p in g]
             for g in groups

@@ -112,7 +112,7 @@ def _variant() -> tuple:
             int(os.environ.get("QFA_COMBINE_PLANES", "0")))
 
 
-_LAYOUT_SPLIT = {"nibble": 1, "paired": 1, "sw2": 2, "sw4": 4}
+_LAYOUT_SPLIT = {"nibble": 1, "paired": 1, "bfp": 1, "sw2": 2, "sw4": 4}
 
 
 def _nibble(w_i32, i: int):
@@ -263,6 +263,75 @@ def _make_kernel(affine, G: int, out_dtype, with_scale: bool,
             # tile-local because right_b | TN and right_b | each segment's
             # q_out; the cross-tile H_A / hadK factors finish outside
             # (transforms.incoherence.finish_right)
+            mm, TN = out.shape
+            t = out.reshape(mm, TN // right_b, right_b)
+            t = jax.lax.dot_general(
+                t, hb_ref[...].astype(out.dtype), (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = t.astype(out_dtype).reshape(mm, TN)
+        o_ref[...] = out
+
+    return kernel
+
+
+def _make_kernel_bfp(affine, Gp: int, out_dtype, with_scale: bool,
+                     right_b: int):
+    """Kernel body for the bfp layout (ops/qtensor.py bfp_default): each
+    plane arrives as (2, TN/2, Gp) i32 with nibble position q of an
+    output-row PAIR in one word (one row per 16-bit half; halves [0]/[1]
+    hold positions 0-3 / 4-7). Per extraction:
+
+        f = ((w >> 4k) & 0x000F000F) | 0x43004300
+        v = bitcast_bf16(f)            # (TN, Gp), rows interleave the
+                                       # halves: value = 128 + nib EXACTLY
+
+    Three plain i32 vector ops, no converts (the sublane-packed bitcast is
+    free), and the same 8-dot sweep as the nibble kernel; the +128 offset
+    folds into the rowsum correction as (beta_total - 128*sum(alpha)).
+    Dots run in bf16 (x's model dtype): products (128+nib)*x_bf16 are
+    exact in the f32 accumulator, so results match the nibble kernel's
+    base variant bit-for-bit."""
+    beta_total = float(sum(b for _, b in affine))
+    alpha_total = float(sum(a for a, _ in affine))
+
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        s_ref = hb_ref = None
+        w_refs = refs[:-1]
+        if right_b:
+            hb_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
+        if with_scale:
+            s_ref = w_refs[-1]
+            w_refs = w_refs[:-1]
+        x = x_ref[...]                                 # (m, 8*Gp)
+        out = None
+        for (alpha, _), w_ref in zip(affine, w_refs):
+            w3 = w_ref[...]                            # (2, TN/2, Gp) i32
+            acc = None
+            for half in (0, 1):
+                w = w3[half]
+                for k in range(4):
+                    f = (w if k == 0
+                         else jax.lax.shift_right_logical(w, 4 * k))
+                    f = (f & 0x000F000F) | 0x43004300
+                    v = pltpu.bitcast(f, jnp.bfloat16)   # (TN, Gp)
+                    if x.dtype != jnp.bfloat16:
+                        v = v.astype(x.dtype)            # exact (<= 143)
+                    q = 4 * half + k
+                    part = jax.lax.dot_general(
+                        x[:, q * Gp:(q + 1) * Gp], v,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+            acc = acc * alpha
+            out = acc if out is None else out + acc
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = out + (beta_total - 128.0 * alpha_total) * xs
+        if s_ref is not None:
+            out = out * s_ref[...].astype(jnp.float32)
+        out = out.astype(out_dtype)
+        if hb_ref is not None:
             mm, TN = out.shape
             t = out.reshape(mm, TN // right_b, right_b)
             t = jax.lax.dot_general(
@@ -500,7 +569,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
                 layout="nibble", rs=0.0):
     m = x_perm.shape[0]
     P = _LAYOUT_SPLIT[layout]
-    Gp = planes_tuple[0].shape[1] // P
+    Gp = planes_tuple[0].shape[-1] // P
     n_planes = len(planes_tuple)
     paired = layout == "paired"
     forced_tn = variant[3] if len(variant) > 3 else 0
@@ -548,9 +617,26 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
         kernel = _make_kernel_paired(rs, Gp, planes_tuple[2].shape[1],
                                      out_dtype, scale_vec is not None, B,
                                      variant)
+    elif layout == "bfp":
+        kernel = _make_kernel_bfp(affine, Gp, out_dtype,
+                                  scale_vec is not None, B)
     else:
         kernel = _make_kernel(affine, Gp, out_dtype, scale_vec is not None,
                               B, variant, split=P)
+
+    def plane_spec(p, ndim_idx):
+        """BlockSpec for one weight-plane arg (bfp planes are 3-D)."""
+        if layout == "bfp":
+            if ndim_idx == 1:
+                return pl.BlockSpec((2, TN // 2, Gp), lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((2, TN // 2, Gp), lambda i, j: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        if ndim_idx == 1:
+            return pl.BlockSpec((TN, p.shape[1]), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((TN, p.shape[1]), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
     # — one (m, TN) accumulator spills once m grows past a few dozen rows
@@ -563,11 +649,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     if TM == m:
         # decode shape: 1-D grid exactly as before (the 2-D grid with a
         # trivial inner dim measurably hurt bs=1 pipelining)
-        plane_specs = [
-            pl.BlockSpec((TN, p.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for p in planes_tuple
-        ]
+        plane_specs = [plane_spec(p, 1) for p in planes_tuple]
         args = list(planes_tuple)
         if scale_vec is not None:
             plane_specs.append(pl.BlockSpec((1, TN), lambda i: (0, i),
@@ -587,11 +669,7 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
             out_shape=jax.ShapeDtypeStruct((m, q_out), out_dtype),
             interpret=_INTERPRET,
         )(x_perm, *args)
-    plane_specs = [
-        pl.BlockSpec((TN, p.shape[1]), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM)
-        for p in planes_tuple
-    ]
+    plane_specs = [plane_spec(p, 2) for p in planes_tuple]
     args = list(planes_tuple)
     if scale_vec is not None:
         plane_specs.append(pl.BlockSpec((1, TN), lambda i, j: (0, i),
@@ -695,7 +773,7 @@ def _fused_core_bwd(meta, res, g):
     qt = QuantizedTensor({f"w{i}": p for i, p in enumerate(planes)},
                          cb_id, q_out, q_in, ors, layout=layout)
     mp = x_perm.shape[0]
-    Gp = planes[0].shape[1] // P
+    Gp = planes[0].shape[-1] // P
     G = q_in // 8
     gg = g.astype(jnp.float32)
     if right_hb is not None:

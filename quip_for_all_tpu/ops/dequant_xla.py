@@ -62,6 +62,9 @@ def decode_positions(qt: QuantizedTensor, dtype=jnp.float32):
     """-> list of 8 (q_out, G_padded) planes; plane i holds weight 8g+i."""
     if qt.layout == "paired":
         return _paired_positions(qt, dtype)
+    if qt.layout == "bfp":
+        from .qtensor import from_bfp
+        qt = from_bfp(qt)
     if qt.split > 1:
         from .qtensor import from_subword
         qt = from_subword(qt)

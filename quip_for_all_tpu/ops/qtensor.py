@@ -108,6 +108,64 @@ def from_subword(qt: "QuantizedTensor") -> "QuantizedTensor":
     return dataclasses.replace(qt, planes=planes, layout="nibble")
 
 
+def bfp_default() -> bool:
+    """Whether planes load into the bf16 lane-magic ("bfp") layout
+    (QFA_BFP, default ON — set QFA_BFP=0 for classic int32 nibble planes).
+
+    Motivation (r4 trace): the fused kernels ran at 72-76% of their DMA
+    floor because the per-word VPU nibble decode (14 int ops + 8 converts)
+    did not hide under the plane stream, and the subword (sw2/sw4) fix
+    died on hardware (Mosaic cannot legalize arith.shrui on i16/i8
+    vectors, tools/R4_RESULTS.jsonl kern_split rows). bfp reaches the same
+    goal with ONLY i32 ops: each plane is re-packed (same bytes) so one
+    i32 word holds the same nibble position q for an output-row PAIR (one
+    row per 16-bit half), the kernel extracts a pair with shift/mask
+    0x000F000F, ORs in 0x43004300 (bf16 0x4300 = 128.0, so each half
+    becomes 128+nib EXACTLY), and a free sublane-packed bitcast to bf16
+    doubles the rows back — zero convert instructions, ~11 int ops/word,
+    and the +128 offset folds into the rowsum correction as
+    (beta - 128*alpha)."""
+    return os.environ.get("QFA_BFP", "1") == "1"
+
+
+def to_bfp(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """nibble -> bfp re-layout (same bytes, on device).
+
+    Each int32 nibble plane (q_out, Gp) becomes (2, q_out/2, Gp):
+      [0] (A): nibble positions 0..3 — lo16 of output row 2t' in the low
+               half, lo16 of row 2t'+1 in the high half
+      [1] (B): nibble positions 4..7, same row pairing
+    so that in-kernel ((w >> 4k) & 0x000F000F | 0x43004300) bitcast to
+    bf16 lands output rows (2t', 2t'+1) on consecutive sublanes (Mosaic's
+    i32->bf16 bitcast packs sublanes interleaved, lo half first)."""
+    assert qt.layout == "nibble" and qt.q_out % 2 == 0
+    planes = {}
+    for k, v in qt.planes.items():
+        w = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        we, wo = w[0::2], w[1::2]                  # rows 2t', 2t'+1
+        a = (we & 0xFFFF) | (wo << 16)
+        b = (we >> 16) | (wo & jnp.uint32(0xFFFF0000))
+        planes[k] = jax.lax.bitcast_convert_type(
+            jnp.stack([a, b]), jnp.int32)          # (2, q_out/2, Gp)
+    return dataclasses.replace(qt, planes=planes, layout="bfp")
+
+
+def from_bfp(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """bfp -> nibble (exact inverse of to_bfp)."""
+    if qt.layout != "bfp":
+        return qt
+    planes = {}
+    for k, v in qt.planes.items():
+        w = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        a, b = w[0], w[1]
+        we = (a & 0xFFFF) | (b << 16)
+        wo = (a >> 16) | (b & jnp.uint32(0xFFFF0000))
+        inter = jnp.stack([we, wo], axis=1)        # (q_out/2, 2, Gp)
+        planes[k] = jax.lax.bitcast_convert_type(
+            inter.reshape(-1, v.shape[-1]), jnp.int32)
+    return dataclasses.replace(qt, planes=planes, layout="nibble")
+
+
 def rvq_paired_default() -> bool:
     """Whether E8P12RVQ4B loads into the paired ~6.5-bit runtime layout
     (QFA_RVQ_PAIRED=1 to opt in).
@@ -153,9 +211,11 @@ class QuantizedTensor:
     q_in: int = dataclasses.field(metadata=dict(static=True))
     opt_resid_scale: float = dataclasses.field(
         default=-1.0, metadata=dict(static=True))
-    # "nibble" (module docstring top), "paired" (E8P12RVQ4B only), or
+    # "nibble" (module docstring top), "paired" (E8P12RVQ4B only),
     # "sw2"/"sw4" (same nibbles stored as int16/int8 subword planes —
-    # see subword_split_default)
+    # see subword_split_default; falsified on hardware, kept for the
+    # record), or "bfp" (bf16 lane-magic row-pair packing — see
+    # bfp_default; the hardware default)
     layout: str = dataclasses.field(
         default="nibble", metadata=dict(static=True))
 
@@ -169,12 +229,13 @@ class QuantizedTensor:
     def split(self) -> int:
         """Subwords per int32 word in the plane storage (1 for
         nibble/paired)."""
-        return {"nibble": 1, "paired": 1, "sw2": 2, "sw4": 4}[self.layout]
+        return {"nibble": 1, "paired": 1, "bfp": 1,
+                "sw2": 2, "sw4": 4}[self.layout]
 
     @property
     def group_cols(self) -> int:
-        """Logical padded group count Gp (plane columns / split)."""
-        return self.planes["w0"].shape[1] // self.split
+        """Logical padded group count Gp (plane lane columns / split)."""
+        return self.planes["w0"].shape[-1] // self.split
 
     @property
     def decode_affine(self):
@@ -397,18 +458,23 @@ def from_raw_idxs(cb: Codebook, idxs: np.ndarray,
     """Raw int32 code indices (q_out, q_in/codesz) -> runtime planes.
 
     ``layout``: None picks the default runtime layout (paired for
-    E8P12RVQ4B when QFA_RVQ_PAIRED; sw{P} when QFA_SPLIT_DECODE; else
-    nibble)."""
+    E8P12RVQ4B when QFA_RVQ_PAIRED; sw{P} when QFA_SPLIT_DECODE; bfp
+    when QFA_BFP (the default); else nibble)."""
     if layout is None:
         if cb.id == "E8P12RVQ4B" and rvq_paired_default():
             layout = "paired"
         elif subword_split_default() > 1:
             layout = f"sw{subword_split_default()}"
+        elif bfp_default() and q_out % 2 == 0:
+            layout = "bfp"
         else:
             layout = "nibble"
     if layout in ("sw2", "sw4"):
         qt = from_raw_idxs(cb, idxs, q_out, q_in, layout="nibble")
         return to_subword(qt, int(layout[2:]))
+    if layout == "bfp":
+        qt = from_raw_idxs(cb, idxs, q_out, q_in, layout="nibble")
+        return to_bfp(qt)
     if layout == "paired":
         assert cb.id == "E8P12RVQ4B", cb.id
         u = np.ascontiguousarray(idxs).view(np.uint32).astype(np.int64)
@@ -460,6 +526,8 @@ def to_raw_idxs(qt: QuantizedTensor) -> np.ndarray:
     ncols = qt.q_in // 8
     if qt.layout == "paired":
         return _paired_idx_from_planes(qt)
+    if qt.layout == "bfp":
+        qt = from_bfp(qt)
     if qt.split > 1:
         qt = from_subword(qt)
     if cb.id == "E8P12":

@@ -82,7 +82,8 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
     import dataclasses as dc
 
     col = role == "col"
-    shard_out = col and _divides(p.q_out, tp)
+    bfp = p.qweight.layout == "bfp"
+    shard_out = col and _divides(p.q_out // 2 if bfp else p.q_out, tp)
     # the paired RVQ4B layout's half/parity planes are not column-local
     # (a plane column covers groups in two disjoint ranges), so row-
     # parallel paired layers replicate their planes instead of sharding
@@ -91,7 +92,13 @@ def qlinear_spec(p: QuantLinearParams, role: str, tp: int
         and p.qweight.layout != "paired"
 
     def plane_spec(arr):
-        # all runtime planes are (q_out, cols(q_in))
+        # runtime planes are (q_out, cols(q_in)); bfp planes are
+        # (2, q_out/2, cols) — sharding row PAIRS keeps pairs whole, so
+        # each shard decodes the same contiguous q_out rows as nibble
+        if bfp:
+            return (P(None, "tp", None) if shard_out
+                    else P(None, None, "tp") if shard_in
+                    else P(None, None, None))
         if shard_out:
             return P("tp", None)
         if shard_in:

@@ -98,9 +98,12 @@ def _random_qtensor(cb: Codebook, q_out: int, q_in: int,
         raise ValueError(cb.id)
     ors = getattr(cb, "opt_resid_scale", -1.0)
     qt = QuantizedTensor(planes, cb.id, q_out, q_in, float(ors))
-    from ..ops.qtensor import subword_split_default, to_subword
+    from ..ops.qtensor import (bfp_default, subword_split_default, to_bfp,
+                               to_subword)
     if subword_split_default() > 1:
         qt = to_subword(qt, subword_split_default())
+    elif bfp_default() and q_out % 2 == 0:
+        qt = to_bfp(qt)
     return qt
 
 

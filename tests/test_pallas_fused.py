@@ -46,7 +46,11 @@ def test_fused_matches_xla(name, strategy, shape, rng, monkeypatch):
     out = np.asarray(dequant_pallas.fused_quant_matmul(
         jnp.asarray(x), qt))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-    assert rel < 2e-5, (name, strategy, shape, rel)
+    # 1e-4, not 2e-5: the default layout is now bfp, whose +128 value
+    # offset (cancelled exactly in the epilogue) inflates the f32
+    # accumulation noise by ~2^-24 * 128 * G — ~1e-4 at model dims,
+    # 40x below the bf16 activation noise floor of the model path
+    assert rel < 1e-4, (name, strategy, shape, rel)
 
 
 def test_forced_pallas_on_unsupported_shape_raises():
@@ -97,7 +101,7 @@ def test_fused_scale_vec_m_tiled(m, rng):
     W = np.asarray(decode_weights(qt, dtype=jnp.float32))
     ref = (x @ W.T) * sv[None, :]
     G = q_in // 8
-    Gp = qt.planes["w0"].shape[1]
+    Gp = qt.group_cols
     xg = x.reshape(m, G, 8).transpose(0, 2, 1)          # (m, 8, G)
     xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
     out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
@@ -136,7 +140,7 @@ def test_fused_custom_vjp_matches_dense_grad(rng):
     sv = jnp.asarray(rng.standard_normal(q_out), jnp.float32)
     spec = HadSpec(None, 1, q_out)
     hb, B = right_b_factor(spec)
-    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+    G, Gp = q_in // 8, qt.group_cols
 
     def pre(x):
         xg = x.reshape(-1, G, 8).transpose(0, 2, 1)
@@ -172,14 +176,14 @@ def test_fused_ksplit_matches_base(name, ksplit, rng, monkeypatch):
     vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
                         dtype=np.uint64)
     qt = from_raw_idxs(cb, vals.astype(np.uint32).view(np.int32),
-                       q_out, q_in)
+                       q_out, q_in, layout="nibble")
     m = 3
     x = rng.standard_normal((m, q_in)).astype(np.float32)
     sv = rng.standard_normal(q_out).astype(np.float32)
     W = np.asarray(decode_weights(qt, dtype=jnp.float32))
     ref = (x @ W.T) * sv[None, :]
 
-    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+    G, Gp = q_in // 8, qt.group_cols
     xg = x.reshape(m, G, 8).transpose(0, 2, 1)
     xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
 
@@ -228,14 +232,14 @@ def test_fused_combine_planes_matches_base(name, rng, monkeypatch):
     vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
                         dtype=np.uint64)
     qt = from_raw_idxs(cb, vals.astype(np.uint32).view(np.int32),
-                       q_out, q_in)
+                       q_out, q_in, layout="nibble")
     m = 3
     x = rng.standard_normal((m, q_in)).astype(np.float32)
     sv = rng.standard_normal(q_out).astype(np.float32)
     W = np.asarray(decode_weights(qt, dtype=jnp.float32))
     ref = (x @ W.T) * sv[None, :]
 
-    G, Gp = q_in // 8, qt.planes["w0"].shape[1]
+    G, Gp = q_in // 8, qt.group_cols
     xg = x.reshape(m, G, 8).transpose(0, 2, 1)
     xg = np.pad(xg, ((0, 0), (0, 0), (0, Gp - G))).reshape(m, 8 * Gp)
 
@@ -300,3 +304,72 @@ def test_subword_layout_matches_base(name, P, rng, monkeypatch):
     gd_s = gd.reshape(3, G, P, nq).transpose(0, 3, 1, 2).reshape(3, 8 * G)
     grel = np.abs(np.asarray(g) - gd_s).max() / (np.abs(gd_s).max() + 1e-9)
     assert grel < 1e-4, (name, P, grel)
+
+
+@pytest.mark.parametrize("name", ["E8P12", "D4", "HI", "E8P12RVQ3B",
+                                  "E8P12RVQ4B"])
+def test_bfp_layout_matches_base(name, rng):
+    """The bf16 lane-magic layout (ops/qtensor.py bfp_default — the
+    hardware default) must reproduce the dense decode exactly, round-trip
+    exactly to raw idxs, run the fused kernel through the grouped prologue
+    with scale_vec + right_hb epilogues, and carry gradients."""
+    from quip_for_all_tpu.ops.qtensor import (from_bfp, to_bfp,
+                                              to_raw_idxs)
+    from quip_for_all_tpu.transforms.incoherence import (
+        HadSpec, finish_right, get_hadK, matmul_hadUt,
+        matmul_hadUt_grouped, right_b_factor)
+    cb = get_codebook(name)
+    q_out, q_in = 256, 1024
+    n = _n_codes(cb)
+    vals = rng.integers(0, min(n, 1 << 62), size=(q_out, q_in // cb.codesz),
+                        dtype=np.uint64)
+    raw = vals.astype(np.uint32).view(np.int32)
+    qt = from_raw_idxs(cb, raw, q_out, q_in, layout="nibble")
+    qb = to_bfp(qt)
+    assert qb.planes["w0"].shape == (2, q_out // 2, qt.group_cols)
+    # exact storage round-trips
+    back = from_bfp(qb)
+    for k in qt.planes:
+        assert np.array_equal(np.asarray(back.planes[k]),
+                              np.asarray(qt.planes[k]))
+    assert np.array_equal(to_raw_idxs(qb), to_raw_idxs(qt))
+    W = np.asarray(decode_weights(qt, dtype=jnp.float32))
+    assert np.array_equal(np.asarray(decode_weights(qb, jnp.float32)), W)
+    # kernel through the grouped prologue with fused epilogues
+    x = rng.standard_normal((3, q_in)).astype(np.float32)
+    sv = rng.standard_normal(q_out).astype(np.float32)
+    spec = get_hadK(q_in, use_rand=True, rng=np.random.default_rng(5))
+    rspec = HadSpec(None, 1, q_out)
+    hb, B = right_b_factor(rspec)
+    xt = np.asarray(matmul_hadUt(jnp.asarray(x), spec, scale=1.3))
+    yref = (xt @ W.T) * sv[None, :]
+    yref = (yref.reshape(-1, q_out // B, B) @ np.asarray(hb).T
+            ).reshape(-1, q_out)
+    xg = matmul_hadUt_grouped(jnp.asarray(x), spec, qb.group_cols,
+                              scale=1.3)
+    out = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        xg, qb, scale_vec=jnp.asarray(sv),
+        right_hb=jnp.asarray(hb, jnp.float32)))
+    rel = np.abs(out - yref).max() / (np.abs(yref).max() + 1e-9)
+    assert rel < 1e-4, (name, rel)          # bfp offset noise, see above
+    # m-tiled grid path (m > 32)
+    xm = rng.standard_normal((64, q_in)).astype(np.float32)
+    G = q_in // 8
+    xmg = xm.reshape(64, G, 8).transpose(0, 2, 1)
+    xmg = np.pad(xmg, ((0, 0), (0, 0), (0, qb.group_cols - G))
+                 ).reshape(64, 8 * qb.group_cols)
+    om = np.asarray(dequant_pallas.fused_quant_matmul_pre(
+        jnp.asarray(xmg), qb))
+    rm = xm @ W.T
+    relm = np.abs(om - rm).max() / (np.abs(rm).max() + 1e-9)
+    assert relm < 1e-4, (name, relm)        # bfp offset noise, see above
+    # gradient through the bfp kernel (custom VJP decodes bfp planes)
+    g = jax.grad(lambda xx: dequant_pallas.fused_quant_matmul_pre(
+        xx, qb, scale_vec=jnp.asarray(sv)).sum())(xg)
+    gd = np.asarray(jax.grad(
+        lambda xx: ((xx @ W.T) * sv[None, :]).sum())(jnp.asarray(xt)))
+    gd_g = gd.reshape(3, G, 8).transpose(0, 2, 1)
+    gd_g = np.pad(gd_g, ((0, 0), (0, 0), (0, qb.group_cols - G))
+                  ).reshape(3, 8 * qb.group_cols)
+    grel = np.abs(np.asarray(g) - gd_g).max() / (np.abs(gd_g).max() + 1e-9)
+    assert grel < 1e-4, (name, grel)

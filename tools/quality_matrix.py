@@ -33,8 +33,11 @@ BITS = {"E8P12": 2, "D4": 2, "HI": 4, "E8P12RVQ3B": 3, "E8P12RVQ4B": 4}
 
 
 def train_tiny(workdir: str, steps_scale: int = 1):
-    """Train the tiny llama (tests/test_quality.py fixture recipe) and
-    export it as an HF checkpoint; returns (cfg, params, hf_dir)."""
+    """Train the tiny llama (tests/test_quality.py fixture recipe, but on
+    8x the data so it GENERALIZES: the matrix evals a held-out draw of the
+    same Markov process, and 512 samples only memorize — held-out ppl came
+    out above uniform) and export it as an HF checkpoint; returns
+    (cfg, params, hf_dir)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("QFA_PALLAS_INTERPRET", "1")
     import jax
@@ -49,7 +52,7 @@ def train_tiny(workdir: str, steps_scale: int = 1):
 
     cfg = tiny_config(num_hidden_layers=2)
     params = M.init_llama_params(cfg, seed=0)
-    data = synthetic_tokens(512, 32, cfg.vocab_size, seed=11)
+    data = synthetic_tokens(4096, 32, cfg.vocab_size, seed=11)
 
     def loss_fn(params, ids):
         logits, _ = M.model_apply(cfg, params, ids)
@@ -66,10 +69,11 @@ def train_tiny(workdir: str, steps_scale: int = 1):
         upd, state = opt.update(g, state, params)
         return optax.apply_updates(params, upd), state, loss
 
-    for _ in range(6 * steps_scale):
-        for i in range(0, 512, 16):
+    for _ in range(3 * steps_scale):
+        for i in range(0, 4096, 16):
             params, state, loss = step(params, state,
                                        jnp.asarray(data[i:i + 16]))
+    print(f"# final train loss {float(loss):.3f}", file=sys.stderr)
     hf_dir = os.path.join(workdir, "trained_tiny_hf")
     save_hf_model(cfg, params, hf_dir)
     return cfg, params, hf_dir

@@ -240,6 +240,21 @@ def phase_headline():
     run_bench("headline_e8p12", [])
 
 
+def phase_bfp():
+    """bf16 lane-magic layout A/B (the round-4 headline lever): whole-model
+    7B decode with QFA_BFP=1 (row-pair bf16 planes, zero converts) vs the
+    round-3 nibble base. The hardware microbench (R4_RESULTS kern_bfp
+    rows) showed bit-exact decode and 999->580us on the 12288x4096 shape;
+    only the whole-model number decides (relay microbench variance)."""
+    run_bench("bfp_e8p12", [],
+              env={"QFA_BFP": "1", "QFA_BENCH_AUTO_VARIANT": "0"})
+    run_bench("nibble_e8p12", [],
+              env={"QFA_BFP": "0"})
+    run_bench("bfp_rvq4b", ["--codebook", "E8P12RVQ4B"],
+              env={"QFA_BFP": "1", "QFA_BENCH_AUTO_VARIANT": "0"},
+              codebook="E8P12RVQ4B")
+
+
 def phase_serving():
     """Per-request latency under serving (VERDICT #8): bs=1 decode_chunk=1
     is the honest comparison against the reference's vLLM
@@ -254,7 +269,8 @@ def phase_serving():
               "--max-new", "64"], timeout_s=1500, tail_lines=3)
 
 
-PHASES = {"serving": phase_serving, "trace": phase_trace, "window": phase_window,
+PHASES = {"serving": phase_serving, "trace": phase_trace,
+          "window": phase_window, "bfp": phase_bfp,
           "rvq4b": phase_rvq4b, "bs32": phase_bs32,
           "mixtral": phase_mixtral, "headline": phase_headline}
 
