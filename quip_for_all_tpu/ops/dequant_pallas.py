@@ -285,14 +285,19 @@ def _make_kernel_bfp(affine, Gp: int, out_dtype, with_scale: bool,
         v = bitcast_bf16(f)            # (TN, Gp), rows interleave the
                                        # halves: value = 128 + nib EXACTLY
 
-    Three plain i32 vector ops, no converts (the sublane-packed bitcast is
-    free), and the same 8-dot sweep as the nibble kernel; the +128 offset
-    folds into the rowsum correction as (beta_total - 128*sum(alpha)).
-    Dots run in bf16 (x's model dtype): products (128+nib)*x_bf16 are
-    exact in the f32 accumulator, so results match the nibble kernel's
-    base variant bit-for-bit."""
+    then one exact bf16 subtract restores v = nib (128+nib and nib are
+    both exactly representable, so the subtraction is lossless) — ~13
+    int/sub ops + zero converts per word vs the nibble kernel's 14 + 8,
+    with bit-identical results to the base (bf16-dot) variant. Folding
+    the +128 through the dot into the rowsum correction instead was
+    measurably noisier (f32 cancellation at 128x-inflated magnitudes,
+    rel ~1e-4 at model dims and visible in tp-sharded-vs-replicated
+    logit comparisons), and the subtract costs nothing measurable: the
+    r4 hardware A/B showed VPU decode ops do not move the whole-model
+    number at decode shapes (tools/R4_RESULTS.jsonl bfp_e8p12 142.5 vs
+    nibble_e8p12 143.2 tok/s — which is also why this layout ships as
+    an OPT-IN, not the default; see ops/qtensor.py bfp_default)."""
     beta_total = float(sum(b for _, b in affine))
-    alpha_total = float(sum(a for a, _ in affine))
 
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
@@ -318,6 +323,7 @@ def _make_kernel_bfp(affine, Gp: int, out_dtype, with_scale: bool,
                     v = pltpu.bitcast(f, jnp.bfloat16)   # (TN, Gp)
                     if x.dtype != jnp.bfloat16:
                         v = v.astype(x.dtype)            # exact (<= 143)
+                    v = v - 128.0                        # exact: v = nib
                     q = 4 * half + k
                     part = jax.lax.dot_general(
                         x[:, q * Gp:(q + 1) * Gp], v,
@@ -327,7 +333,7 @@ def _make_kernel_bfp(affine, Gp: int, out_dtype, with_scale: bool,
             acc = acc * alpha
             out = acc if out is None else out + acc
         xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-        out = out + (beta_total - 128.0 * alpha_total) * xs
+        out = out + beta_total * xs
         if s_ref is not None:
             out = out * s_ref[...].astype(jnp.float32)
         out = out.astype(out_dtype)

@@ -110,22 +110,29 @@ def from_subword(qt: "QuantizedTensor") -> "QuantizedTensor":
 
 def bfp_default() -> bool:
     """Whether planes load into the bf16 lane-magic ("bfp") layout
-    (QFA_BFP, default ON — set QFA_BFP=0 for classic int32 nibble planes).
+    (QFA_BFP=1 to opt in; default OFF).
 
-    Motivation (r4 trace): the fused kernels ran at 72-76% of their DMA
-    floor because the per-word VPU nibble decode (14 int ops + 8 converts)
-    did not hide under the plane stream, and the subword (sw2/sw4) fix
-    died on hardware (Mosaic cannot legalize arith.shrui on i16/i8
-    vectors, tools/R4_RESULTS.jsonl kern_split rows). bfp reaches the same
-    goal with ONLY i32 ops: each plane is re-packed (same bytes) so one
-    i32 word holds the same nibble position q for an output-row PAIR (one
-    row per 16-bit half), the kernel extracts a pair with shift/mask
-    0x000F000F, ORs in 0x43004300 (bf16 0x4300 = 128.0, so each half
-    becomes 128+nib EXACTLY), and a free sublane-packed bitcast to bf16
-    doubles the rows back — zero convert instructions, ~11 int ops/word,
-    and the +128 offset folds into the rowsum correction as
-    (beta - 128*alpha)."""
-    return os.environ.get("QFA_BFP", "1") == "1"
+    The hypothesis (r4 trace): the fused kernels ran at 72-76% of their
+    spec DMA floor because the per-word VPU nibble decode (14 int ops +
+    8 converts) did not hide under the plane stream. After the subword
+    (sw2/sw4) fix died on hardware (Mosaic cannot legalize arith.shrui
+    on i16/i8 vectors, tools/R4_RESULTS.jsonl kern_split rows), bfp
+    reached the same op cut with ONLY i32 ops: each plane is re-packed
+    (same bytes) so one i32 word holds the same nibble position q for an
+    output-row PAIR (one row per 16-bit half), the kernel extracts a
+    pair with shift/mask 0x000F000F, ORs in 0x43004300 (bf16 0x4300 =
+    128.0, so each half becomes 128+nib EXACTLY), a free sublane-packed
+    bitcast to bf16 doubles the rows back, and one exact bf16 subtract
+    restores nib — ~13 ops + zero converts per word vs 22.
+
+    Measured on hardware (whole-model 7B bs=1, R4_RESULTS): bfp 142.5
+    vs nibble 143.2 tok/s; RVQ4B 85.9 vs 83.7 — NO whole-model change
+    despite the ~40%-fewer-VPU-ops kernel. Together with the ksplit,
+    magic and paired falsifications this rules VPU decode work OUT as
+    the decode-shape bottleneck (the gap to the spec DMA floor lies
+    elsewhere — see tools/microbench_tn.py). Default stays nibble; the
+    layout remains a tested opt-in and the record of that result."""
+    return os.environ.get("QFA_BFP", "0") == "1"
 
 
 def to_bfp(qt: "QuantizedTensor") -> "QuantizedTensor":
@@ -213,9 +220,9 @@ class QuantizedTensor:
         default=-1.0, metadata=dict(static=True))
     # "nibble" (module docstring top), "paired" (E8P12RVQ4B only),
     # "sw2"/"sw4" (same nibbles stored as int16/int8 subword planes —
-    # see subword_split_default; falsified on hardware, kept for the
-    # record), or "bfp" (bf16 lane-magic row-pair packing — see
-    # bfp_default; the hardware default)
+    # see subword_split_default; dead on hardware, kept for the record),
+    # or "bfp" (bf16 lane-magic row-pair packing — see bfp_default;
+    # opt-in, whole-model-falsified as a speed win)
     layout: str = dataclasses.field(
         default="nibble", metadata=dict(static=True))
 

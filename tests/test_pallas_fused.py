@@ -46,11 +46,7 @@ def test_fused_matches_xla(name, strategy, shape, rng, monkeypatch):
     out = np.asarray(dequant_pallas.fused_quant_matmul(
         jnp.asarray(x), qt))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-    # 1e-4, not 2e-5: the default layout is now bfp, whose +128 value
-    # offset (cancelled exactly in the epilogue) inflates the f32
-    # accumulation noise by ~2^-24 * 128 * G — ~1e-4 at model dims,
-    # 40x below the bf16 activation noise floor of the model path
-    assert rel < 1e-4, (name, strategy, shape, rel)
+    assert rel < 2e-5, (name, strategy, shape, rel)
 
 
 def test_forced_pallas_on_unsupported_shape_raises():
@@ -309,8 +305,8 @@ def test_subword_layout_matches_base(name, P, rng, monkeypatch):
 @pytest.mark.parametrize("name", ["E8P12", "D4", "HI", "E8P12RVQ3B",
                                   "E8P12RVQ4B"])
 def test_bfp_layout_matches_base(name, rng):
-    """The bf16 lane-magic layout (ops/qtensor.py bfp_default — the
-    hardware default) must reproduce the dense decode exactly, round-trip
+    """The bf16 lane-magic layout (ops/qtensor.py bfp_default — opt-in,
+    falsified as a speed win) must reproduce the dense decode, round-trip
     exactly to raw idxs, run the fused kernel through the grouped prologue
     with scale_vec + right_hb epilogues, and carry gradients."""
     from quip_for_all_tpu.ops.qtensor import (from_bfp, to_bfp,
@@ -351,7 +347,7 @@ def test_bfp_layout_matches_base(name, rng):
         xg, qb, scale_vec=jnp.asarray(sv),
         right_hb=jnp.asarray(hb, jnp.float32)))
     rel = np.abs(out - yref).max() / (np.abs(yref).max() + 1e-9)
-    assert rel < 1e-4, (name, rel)          # bfp offset noise, see above
+    assert rel < 2e-5, (name, rel)
     # m-tiled grid path (m > 32)
     xm = rng.standard_normal((64, q_in)).astype(np.float32)
     G = q_in // 8
@@ -362,7 +358,7 @@ def test_bfp_layout_matches_base(name, rng):
         jnp.asarray(xmg), qb))
     rm = xm @ W.T
     relm = np.abs(om - rm).max() / (np.abs(rm).max() + 1e-9)
-    assert relm < 1e-4, (name, relm)        # bfp offset noise, see above
+    assert relm < 2e-5, (name, relm)
     # gradient through the bfp kernel (custom VJP decodes bfp planes)
     g = jax.grad(lambda xx: dequant_pallas.fused_quant_matmul_pre(
         xx, qb, scale_vec=jnp.asarray(sv)).sum())(xg)
