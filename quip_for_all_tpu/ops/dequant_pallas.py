@@ -556,11 +556,18 @@ def _pick_tn(q_out: int, Gp: int, n_planes: int, forced_tn: int = 0,
              plane_cols: int = 0) -> int:
     # VMEM per tile: word planes (TN*Gp*4*n) + 8 value planes transient;
     # plane_cols overrides n_planes*Gp for mixed-width plane sets (paired)
+    cols = plane_cols or n_planes * Gp
     forced = forced_tn or os.environ.get("QFA_TN")
     if forced and q_out % int(forced) == 0:
-        return int(forced)
+        tn = int(forced)
+        # forced tiles still respect the hard scoped-VMEM wall (~16MB):
+        # a 2048-row tile at Gp=1408 hard-aborts Mosaic on hardware
+        # (R4_RESULTS kern_tn2048_*_4096x11264: 22MB > 16MB). Per-call
+        # layers that can't fit the forced tile fall back to the
+        # heuristic instead of killing the whole model.
+        if tn * 4 * (cols + 2 * Gp) <= 14 * 1024 * 1024:
+            return tn
     budget = 6 * 1024 * 1024
-    cols = plane_cols or n_planes * Gp
     for tn in (512, 256, 128):
         if q_out % tn == 0 and tn * 4 * (cols + 2 * Gp) <= budget:
             return tn

@@ -90,36 +90,60 @@ def _make_moe_kernel(affine, G: int, out_dtype, magic: bool = False):
 
 @functools.partial(jax.jit,
                    static_argnames=("affine", "q_out", "out_dtype_str",
-                                    "magic"))
+                                    "magic", "tiles_inner"))
 def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str,
-              magic=False):
+              magic=False, tiles_inner=False):
     R = x_perm.shape[0]
     Gp = planes_tuple[0].shape[2]
     TN = _pick_tn(q_out) or q_out
     out_dtype = np.dtype(out_dtype_str)
     kernel = _make_moe_kernel(affine, Gp, out_dtype, magic)
 
-    plane_specs = [
-        pl.BlockSpec((1, TN, Gp), lambda t, r, eids: (eids[r], t, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in planes_tuple
-    ]
     # x/out ride a (R, 1, N) 3-D layout: Mosaic constrains only the LAST
     # TWO block dims (divisible by (8, 128) or equal to the array dims), so
     # the per-row blocks become (1, 1=array, full-lane) — a plain (1, N)
     # block on a (R, N) array is rejected on real hardware (sublane dim 1).
-    # Grid order: tiles OUTER, rows INNER — callers sort rows by expert id
-    # (stacked_rows_apply), so consecutive grid steps with equal eids map
-    # to the SAME plane block and the DMA is skipped: per weight tile the
-    # planes stream once per DISTINCT expert, not once per row.
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(q_out // TN, R),
-        in_specs=[pl.BlockSpec((1, 1, 8 * Gp), lambda t, r, eids: (r, 0, 0),
-                               memory_space=pltpu.VMEM)] + plane_specs,
-        out_specs=pl.BlockSpec((1, 1, TN), lambda t, r, eids: (r, 0, t),
-                               memory_space=pltpu.VMEM),
-    )
+    #
+    # Grid order (QFA_MOE_TILES_INNER, trace-time):
+    #   default — tiles OUTER, rows INNER: callers sort rows by expert id
+    #   (stacked_rows_apply), so consecutive grid steps with equal eids
+    #   map to the SAME plane block and the DMA is skipped: per weight
+    #   tile the planes stream once per DISTINCT expert, not once per
+    #   row. The win of choice for BATCHED decode (many duplicate rows).
+    #   tiles_inner — rows OUTER, tiles INNER: each row's expert planes
+    #   stream as one long contiguous sweep instead of alternating
+    #   between experts' far-apart HBM regions every tile. Candidate for
+    #   tiny R (bs=1 top-2: R=2, zero duplicates to exploit).
+    if tiles_inner:
+        plane_specs = [
+            pl.BlockSpec((1, TN, Gp), lambda r, t, eids: (eids[r], t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in planes_tuple
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R, q_out // TN),
+            in_specs=[pl.BlockSpec((1, 1, 8 * Gp),
+                                   lambda r, t, eids: (r, 0, 0),
+                                   memory_space=pltpu.VMEM)] + plane_specs,
+            out_specs=pl.BlockSpec((1, 1, TN), lambda r, t, eids: (r, 0, t),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        plane_specs = [
+            pl.BlockSpec((1, TN, Gp), lambda t, r, eids: (eids[r], t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in planes_tuple
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(q_out // TN, R),
+            in_specs=[pl.BlockSpec((1, 1, 8 * Gp),
+                                   lambda t, r, eids: (r, 0, 0),
+                                   memory_space=pltpu.VMEM)] + plane_specs,
+            out_specs=pl.BlockSpec((1, 1, TN), lambda t, r, eids: (r, 0, t),
+                                   memory_space=pltpu.VMEM),
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -136,7 +160,9 @@ def moe_fused_matmul(x_perm: jax.Array, eids: jax.Array, planes: dict,
     expert id per row, planes: {key: (E, q_out, Gp)} -> (R, q_out)."""
     affine = decode_affine(codebook_id, opt_resid_scale)
     planes_tuple = tuple(planes[k] for k in sorted(planes))
-    # trace-time read so one TPU process can A/B it (see dequant_pallas)
+    # trace-time reads so one TPU process can A/B them (see dequant_pallas)
     magic = os.environ.get("QFA_MAGIC_MOE", "0") == "1"
+    tiles_inner = os.environ.get("QFA_MOE_TILES_INNER", "0") == "1"
     return _moe_call(x_perm, eids, planes_tuple, affine, q_out,
-                     np.dtype(x_perm.dtype).name, magic=magic)
+                     np.dtype(x_perm.dtype).name, magic=magic,
+                     tiles_inner=tiles_inner)

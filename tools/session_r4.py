@@ -236,6 +236,32 @@ def phase_mixtral():
     run_bench("mixtral_bs1_base", ["--model", "mixtral"], model="mixtral")
 
 
+def phase_moegrid():
+    """bs=1 MoE grid-order A/B (VERDICT #3): tiles-inner streams each
+    expert's planes contiguously instead of alternating experts every
+    tile — candidate win at R=2 (no duplicate rows to exploit)."""
+    run_bench("mixtral_bs1_tilesinner", ["--model", "mixtral"],
+              env={"QFA_MOE_TILES_INNER": "1",
+                   "QFA_BENCH_AUTO_VARIANT": "0"}, model="mixtral")
+    run_bench("mixtral_bs8_tilesinner",
+              ["--model", "mixtral", "--batch", "8", "--cache-len", "512"],
+              env={"QFA_MOE_TILES_INNER": "1",
+                   "QFA_BENCH_AUTO_VARIANT": "0"},
+              model="mixtral", batch=8, cache_len=512)
+
+
+def phase_tn():
+    """Output-tile-size A/B via QFA_TN (in-model, the only trustworthy
+    instrument — the standalone probe drowned in the 32ms relay
+    roundtrip at 64 iters). 1024/2048 apply where q_out divides AND the
+    tile fits VMEM (qkv/o at both; down at 1024; gate-up/head stay at
+    the heuristic), so a win here isolates per-grid-step cost."""
+    run_bench("tn1024_e8p12", [],
+              env={"QFA_TN": "1024", "QFA_BENCH_AUTO_VARIANT": "0"})
+    run_bench("tn2048_e8p12", [],
+              env={"QFA_TN": "2048", "QFA_BENCH_AUTO_VARIANT": "0"})
+
+
 def phase_headline():
     run_bench("headline_e8p12", [])
 
@@ -272,7 +298,8 @@ def phase_serving():
 PHASES = {"serving": phase_serving, "trace": phase_trace,
           "window": phase_window, "bfp": phase_bfp,
           "rvq4b": phase_rvq4b, "bs32": phase_bs32,
-          "mixtral": phase_mixtral, "headline": phase_headline}
+          "mixtral": phase_mixtral, "moegrid": phase_moegrid,
+          "tn": phase_tn, "headline": phase_headline}
 
 
 def main():
