@@ -16,6 +16,7 @@ Hessian forward hooks (``quantizer.py:426-451``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -201,8 +202,16 @@ def moe_apply(cfg: ModelConfig, moe_p: Params, x: jax.Array, linear_kw: dict,
     B, S, D = x.shape
     router_logits = linear_apply(moe_p["gate"], x, **linear_kw)  # (B,S,E)
     if "experts_stacked" in moe_p and captures is None:
-        from ..nn.qmoe import moe_sparse_apply
+        from ..nn.qmoe import moe_dense_stacked_apply, moe_sparse_apply
         cd = linear_kw.get("compute_dtype", jnp.bfloat16)
+        # trace-time knob: EP-sharded meshes route decode through the
+        # dense-stacked formulation (each device computes ITS experts,
+        # one psum over "ep") instead of the sparse gather — the sparse
+        # path's dynamic plane take over an ep-sharded E axis would
+        # all-gather the full expert planes under GSPMD
+        if os.environ.get("QFA_MOE_DENSE_STACKED", "0") == "1":
+            return moe_dense_stacked_apply(cfg, moe_p, x, router_logits,
+                                           compute_dtype=cd)
         if B * S < 32 and not linear_kw.get("training"):
             return moe_sparse_apply(cfg, moe_p, x, router_logits,
                                     compute_dtype=cd)

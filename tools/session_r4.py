@@ -266,6 +266,25 @@ def phase_headline():
     run_bench("headline_e8p12", [])
 
 
+def phase_chain():
+    """Chained-dispatch protocol (round 4): timed windows enqueued
+    back-to-back with ONE fetch at the end, vs per-window host sync.
+    The old protocol paid a full host<->relay roundtrip inside every
+    timed 64-token window — tunnel latency, not framework time;
+    generate()/serving chain segments exactly like the new default.
+    chain_e8p12 keeps auto-variant probing (picks the best bit-exact
+    kernel variant under the new protocol)."""
+    run_bench("chain_e8p12", [], timeout_s=2400)
+    run_bench("nochain_e8p12", [], env={"QFA_BENCH_CHAIN": "0",
+                                        "QFA_BENCH_AUTO_VARIANT": "0"})
+    run_bench("chain_tn1024_e8p12", [],
+              env={"QFA_TN": "1024", "QFA_BENCH_AUTO_VARIANT": "0"})
+    run_bench("chain_rvq4b", ["--codebook", "E8P12RVQ4B"],
+              codebook="E8P12RVQ4B")
+    run_bench("chain_mixtral_bs1", ["--model", "mixtral"],
+              model="mixtral")
+
+
 def phase_bfp():
     """bf16 lane-magic layout A/B (the round-4 headline lever): whole-model
     7B decode with QFA_BFP=1 (row-pair bf16 planes, zero converts) vs the
@@ -299,7 +318,8 @@ PHASES = {"serving": phase_serving, "trace": phase_trace,
           "window": phase_window, "bfp": phase_bfp,
           "rvq4b": phase_rvq4b, "bs32": phase_bs32,
           "mixtral": phase_mixtral, "moegrid": phase_moegrid,
-          "tn": phase_tn, "headline": phase_headline}
+          "tn": phase_tn, "headline": phase_headline,
+          "chain": phase_chain}
 
 
 def main():
