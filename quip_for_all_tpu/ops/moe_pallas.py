@@ -88,15 +88,102 @@ def _make_moe_kernel(affine, G: int, out_dtype, magic: bool = False):
     return kernel
 
 
+def _make_moe_kernel_merged(affine, G: int, out_dtype, R: int,
+                            magic: bool = False):
+    """Merged-rows body: ALL R rows' expert plane blocks are inputs of the
+    SAME grid step (w_refs ordered plane-major: [p0e0, p0e1, ..., p1e0,
+    ...]), so at bs=1 top-K (R=K distinct experts, zero duplicate rows for
+    the sorted-rows reuse to exploit) the K expert streams DMA
+    concurrently instead of on R-way more grid steps."""
+    beta_total = float(sum(b for _, b in affine))
+
+    def kernel(eids_ref, x_ref, *refs):
+        del eids_ref
+        o_ref = refs[-1]
+        w_refs = refs[:-1]
+        x = x_ref[...].reshape(R, 8 * G).astype(jnp.float32)
+
+        def cvt(v_i32):
+            if magic:
+                return pltpu.bitcast(v_i32 | 0x4B000000,
+                                     jnp.float32) - float(1 << 23)
+            return v_i32.astype(jnp.float32)
+
+        for e in range(R):
+            out = None
+            for p, (alpha, _) in enumerate(affine):
+                w = pltpu.bitcast(w_refs[p * R + e][0], jnp.int32)
+                acc = None
+                for i in range(8):
+                    v = cvt(_nibble(w, i))
+                    part = jax.lax.dot_general(
+                        x[e:e + 1, i * G:(i + 1) * G], v,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+                acc = acc * alpha
+                out = acc if out is None else out + acc
+            xs = jnp.sum(x[e:e + 1], axis=1, keepdims=True)
+            o_ref[e] = (out + beta_total * xs).astype(out_dtype)
+
+    return kernel
+
+
+# rows above this run the grid-step formulations (sorted-row plane reuse /
+# tiles_inner); at or below it every row's planes fit as same-step inputs
+_MERGED_MAX_R = 4
+
+
+def _merged_default() -> bool:
+    # opt-in until hardware-validated (see tools/session_r4.py moemerged)
+    return os.environ.get("QFA_MOE_MERGED", "0") == "1"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("affine", "q_out", "out_dtype_str",
-                                    "magic", "tiles_inner"))
+                                    "magic", "tiles_inner", "merged"))
 def _moe_call(x_perm, eids, planes_tuple, affine, q_out, out_dtype_str,
-              magic=False, tiles_inner=False):
+              magic=False, tiles_inner=False, merged=False):
     R = x_perm.shape[0]
     Gp = planes_tuple[0].shape[2]
     TN = _pick_tn(q_out) or q_out
     out_dtype = np.dtype(out_dtype_str)
+
+    if merged and R <= _MERGED_MAX_R:
+        # R * plane-sets blocks live per step, double-buffered: shrink TN
+        # until they fit the scoped-VMEM budget (same wall as _pick_tn's
+        # forced path in dequant_pallas)
+        budget = 12 * 2**20
+        while (TN > 128 and q_out % (TN // 2) == 0 and
+               R * len(planes_tuple) * TN * Gp * 4 * 2 > budget):
+            TN //= 2
+        kernel = _make_moe_kernel_merged(affine, Gp, out_dtype, R, magic)
+        plane_specs = [
+            pl.BlockSpec((1, TN, Gp),
+                         lambda t, eids, e=e: (eids[e], t, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in planes_tuple for e in range(R)
+        ]
+        # planes plane-major to match the kernel's w_refs[p * R + e]
+        plane_args = [p for p in planes_tuple for _ in range(R)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(q_out // TN,),
+            in_specs=[pl.BlockSpec((R, 1, 8 * Gp),
+                                   lambda t, eids: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)] + plane_specs,
+            out_specs=pl.BlockSpec((R, 1, TN), lambda t, eids: (0, 0, t),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, 1, q_out), out_dtype),
+            interpret=_INTERPRET,
+        )(eids.astype(jnp.int32), x_perm.reshape(R, 1, 8 * Gp),
+          *plane_args)
+        return out.reshape(R, q_out)
+
     kernel = _make_moe_kernel(affine, Gp, out_dtype, magic)
 
     # x/out ride a (R, 1, N) 3-D layout: Mosaic constrains only the LAST
@@ -163,6 +250,7 @@ def moe_fused_matmul(x_perm: jax.Array, eids: jax.Array, planes: dict,
     # trace-time reads so one TPU process can A/B them (see dequant_pallas)
     magic = os.environ.get("QFA_MAGIC_MOE", "0") == "1"
     tiles_inner = os.environ.get("QFA_MOE_TILES_INNER", "0") == "1"
+    merged = _merged_default()
     return _moe_call(x_perm, eids, planes_tuple, affine, q_out,
                      np.dtype(x_perm.dtype).name, magic=magic,
-                     tiles_inner=tiles_inner)
+                     tiles_inner=tiles_inner, merged=merged)

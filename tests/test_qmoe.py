@@ -186,3 +186,27 @@ def test_stacked_rows_apply_batched_duplicate_experts(qmix, rng):
         ref = np.asarray(qmoe.stacked_rows_apply(
             sq, x[r:r + 1], eids[r:r + 1], compute_dtype=jnp.float32))
         np.testing.assert_allclose(out[r], ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_stacked_rows_apply_merged_matches_default(qmix, rng,
+                                                   monkeypatch):
+    """QFA_MOE_MERGED: all R rows' expert plane blocks as same-grid-step
+    inputs (one tile sweep, concurrent expert streams) must match the
+    rows-in-grid default bit-for-bit at fp32 compute (same dot order per
+    row: 8 position dots, plane-major accumulate)."""
+    cfg, qparams = qmix
+    moe = qparams["layers"][0]["block_sparse_moe"]
+    st = qmoe.stack_experts(moe)
+    for R in (2, 4):
+        x = jnp.asarray(rng.standard_normal((R, cfg.hidden_size)),
+                        jnp.float32)
+        eids = jnp.asarray(
+            rng.choice(cfg.num_local_experts, R, replace=False),
+            jnp.int32)
+        monkeypatch.delenv("QFA_MOE_MERGED", raising=False)
+        base = qmoe.stacked_rows_apply(st["w13"], x, eids,
+                                       compute_dtype=jnp.float32)
+        monkeypatch.setenv("QFA_MOE_MERGED", "1")
+        got = qmoe.stacked_rows_apply(st["w13"], x, eids,
+                                      compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))

@@ -250,6 +250,20 @@ def phase_moegrid():
               model="mixtral", batch=8, cache_len=512)
 
 
+def phase_moemerged():
+    """bs=1 MoE merged-rows A/B (VERDICT #3): both top-2 experts' plane
+    blocks as same-grid-step inputs — concurrent expert DMA streams, half
+    the grid steps — vs the rows-in-grid default. bs=8 checks the merged
+    formulation doesn't regress the batched sorted-row reuse regime."""
+    run_bench("mixtral_bs1_moemerged", ["--model", "mixtral"],
+              env={"QFA_MOE_MERGED": "1", "QFA_BENCH_AUTO_VARIANT": "0"},
+              model="mixtral")
+    run_bench("mixtral_bs8_moemerged",
+              ["--model", "mixtral", "--batch", "8", "--cache-len", "512"],
+              env={"QFA_MOE_MERGED": "1", "QFA_BENCH_AUTO_VARIANT": "0"},
+              model="mixtral", batch=8, cache_len=512)
+
+
 def phase_tn():
     """Output-tile-size A/B via QFA_TN (in-model, the only trustworthy
     instrument — the standalone probe drowned in the 32ms relay
@@ -274,11 +288,11 @@ def phase_chain():
     generate()/serving chain segments exactly like the new default.
     chain_e8p12 keeps auto-variant probing (picks the best bit-exact
     kernel variant under the new protocol)."""
-    run_bench("chain_e8p12", [], timeout_s=2400)
+    # chain_e8p12 measured directly 2026-08-20 (155.21 tok/s, R4_RESULTS
+    # bench_chain_headline row) — not re-run here; nochain is the same-day
+    # protocol A/B, then the two slow decode targets under the new protocol
     run_bench("nochain_e8p12", [], env={"QFA_BENCH_CHAIN": "0",
                                         "QFA_BENCH_AUTO_VARIANT": "0"})
-    run_bench("chain_tn1024_e8p12", [],
-              env={"QFA_TN": "1024", "QFA_BENCH_AUTO_VARIANT": "0"})
     run_bench("chain_rvq4b", ["--codebook", "E8P12RVQ4B"],
               codebook="E8P12RVQ4B")
     run_bench("chain_mixtral_bs1", ["--model", "mixtral"],
@@ -318,6 +332,7 @@ PHASES = {"serving": phase_serving, "trace": phase_trace,
           "window": phase_window, "bfp": phase_bfp,
           "rvq4b": phase_rvq4b, "bs32": phase_bs32,
           "mixtral": phase_mixtral, "moegrid": phase_moegrid,
+          "moemerged": phase_moemerged,
           "tn": phase_tn, "headline": phase_headline,
           "chain": phase_chain}
 
