@@ -385,17 +385,22 @@ def main():
         windows chained or per-window-synced). Returns (tokens/s, all
         generated tokens in window order) — the token stream doubles as
         a bit-exactness witness for variant probing."""
-        caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
-                                quantized=args.kv_quantized)
         tok = jnp.full((B,), 7, dtype=jnp.int32)
         pos = jnp.full((B,), start, dtype=jnp.int32)
         t0 = time.time()
+        # one cache set alive at a time: at bs=32 cache=512 bf16 a cache
+        # set is ~8.6GB, so pre-loading on scratch caches while the real
+        # set already exists OOMs (r4 bs32_e8p12_bf16kv HLO-temp copy).
+        # Build scratch, compile+pre-load on it, free it, THEN build the
+        # measurement caches.
+        scratch = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
+                                 quantized=args.kv_quantized)
         compiled = {}
         for w in buckets:
             f = jax.jit(functools.partial(decode_many, n=args.tokens,
                                           attn_window=w),
                         donate_argnums=(1,))
-            compiled[w] = f.lower(params, caches, tok, pos).compile()
+            compiled[w] = f.lower(params, scratch, tok, pos).compile()
         print(f"# [{tag}] AOT-compiled buckets {buckets} in "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -408,18 +413,17 @@ def main():
             # execution pays a one-time program transfer) on scratch
             # caches so no first-of-bucket discard lands mid-chain
             t0 = time.time()
-            scratch = init_kv_caches(cfg, B, args.cache_len,
-                                     dtype=jnp.bfloat16,
-                                     quantized=args.kv_quantized)
             for w in buckets:
                 e_w = next(e for e in ends
                            if attn_bucket(e, args.cache_len) == w)
                 ps = jnp.full((B,), e_w - args.tokens, dtype=jnp.int32)
                 scratch, tks = compiled[w](params, scratch, tok, ps)
                 _ = np.asarray(tks)
-            del scratch
             print(f"# [{tag}] bucket programs pre-loaded in "
                   f"{time.time()-t0:.1f}s", file=sys.stderr)
+        del scratch
+        caches = init_kv_caches(cfg, B, args.cache_len, dtype=jnp.bfloat16,
+                                quantized=args.kv_quantized)
 
         # NOTE: block_until_ready is unreliable over the experimental
         # remote backend; np.asarray forces a real device->host fetch of

@@ -224,8 +224,10 @@ def phase_bs32():
                         "--cache-len", str(cache)]
                 if kvq:
                     args.append("--kv-quantized")
-                run_bench(tag, args, codebook=cb, batch=32,
-                          cache_len=cache, kv_quantized=kvq)
+                res = run_bench(tag, args, codebook=cb, batch=32,
+                                cache_len=cache, kv_quantized=kvq)
+                if cache == 512 and res is None:
+                    any_skipped = True    # runtime OOM also voids the 512 matrix
 
 
 def phase_mixtral():
