@@ -173,6 +173,117 @@ def from_bfp(qt: "QuantizedTensor") -> "QuantizedTensor":
     return dataclasses.replace(qt, planes=planes, layout="nibble")
 
 
+def rvq_pb_default() -> bool:
+    """Whether E8P12RVQ4B loads into the pb (~6.5-bit, row-pair packed)
+    runtime layout (QFA_RVQ_PB=1 to opt in; becomes the default if the
+    hardware A/B confirms the byte-cut win).
+
+    Round-4 successor to the falsified r3 "paired" layout: same ~19%
+    plane-byte cut (lo 4 + hi 2 + parity ~0.4-0.5 bits/weight), but every
+    extraction uses the bf16 lane-magic row-pair trick proven exact by the
+    bfp layout (ops/dequant_pallas.py _make_kernel_bfp) — shift/mask/OR
+    0x4300/bitcast/subtract on int32, NO per-position lane concats and NO
+    converts, so the decode has FEWER VPU ops than the nibble kernel while
+    streaming 0.81x the bytes. Physics: RVQ4B decode is plane-DMA-bound
+    (R4_RESULTS: bfp/magic/ksplit all neutral), so bytes are the only
+    lever left; 11.1 ms/token = ~9.3 ms plane stream + ~1.8 ms rest
+    predicts ~0.81*9.3 + 1.8 = 9.3 ms -> ~107 tok/s from 90."""
+    return os.environ.get("QFA_RVQ_PB", "0") == "1"
+
+
+def pb_parity_lanes(Gp: int) -> int:
+    """Parity-plane lane width PL: smallest 128-multiple with 8*PL >= Gp.
+    Word at (row-pair r, lane j) holds groups jmod*PL + j for jmod < 8:
+    bits (16h + 2*jmod) = p0, (16h + 2*jmod + 1) = p1 of row 2r+h."""
+    pl = 128
+    while 8 * pl < Gp:
+        pl += 128
+    return pl
+
+
+def _rowpair16(even: np.ndarray, odd: np.ndarray) -> np.ndarray:
+    """Two (q_out/2, C) arrays of 16-bit payloads -> (q_out/2, C) int32
+    words (even in lo16, odd in hi16) matching Mosaic's i32->bf16 sublane
+    bitcast order (lo half -> first row of the pair)."""
+    return ((even & 0xFFFF) | (odd << 16)).astype(np.uint32).view(np.int32)
+
+
+def _pb_planes_from_uv(u0: np.ndarray, p0: np.ndarray,
+                       u1: np.ndarray, p1: np.ndarray,
+                       q_out: int, G: int) -> Dict[str, jax.Array]:
+    """(u, parity) arrays -> pb planes. u0/u1 (q_out, G, 8) in {0..7} with
+    u1 <= 5 (hi = u1>>1 must fit 2 bits); p0/p1 (q_out, G) in {0,1}.
+
+      w0 (2, q_out/2, Gp) i32: bfp row-pair packing of the lo nibble plane
+          (position-i nibble = u0 | (u1 & 1) << 3); [0] = positions 0..3
+      w1 (q_out/2, Gp) i32:   row-pair 2-bit fields, bit (16h + 2i) =
+          u1 >> 1 of row 2r+h
+      w2 (q_out/2, PL) i32:   row-pair parity fields (pb_parity_lanes)
+    """
+    assert q_out % 2 == 0
+    Gp = -(-G // 128) * 128
+    PL = pb_parity_lanes(Gp)
+    lo4 = u0 | ((u1 & 1) << 3)                            # (q_out, G, 8)
+    L = np.zeros((q_out, Gp), dtype=np.int64)
+    for i in range(8):
+        L[:, :G] |= lo4[..., i] << (4 * i)
+    Lu = L.astype(np.uint32)
+    we, wo = Lu[0::2].astype(np.int64), Lu[1::2].astype(np.int64)
+    a = _rowpair16(we & 0xFFFF, wo & 0xFFFF)              # positions 0..3
+    b = _rowpair16(we >> 16, wo >> 16)                    # positions 4..7
+    hi = u1 >> 1                                          # (q_out, G, 8)
+    H16 = np.zeros((q_out, Gp), dtype=np.int64)
+    for i in range(8):
+        H16[:, :G] |= hi[..., i] << (2 * i)
+    Hp = _rowpair16(H16[0::2], H16[1::2])
+    pp = (p0 | (p1 << 1)).astype(np.int64)                # (q_out, G)
+    P16 = np.zeros((q_out, PL), dtype=np.int64)
+    for j in range(-(-Gp // PL)):
+        lo_g, hi_g = j * PL, min((j + 1) * PL, G)
+        if lo_g >= G:
+            break
+        P16[:, : hi_g - lo_g] |= pp[:, lo_g:hi_g] << (2 * j)
+    Pp = _rowpair16(P16[0::2], P16[1::2])
+    return {"w0": jnp.asarray(np.stack([a, b])),
+            "w1": jnp.asarray(Hp), "w2": jnp.asarray(Pp)}
+
+
+def pb_to_nibble(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """pb -> nibble re-layout at the (u, parity) level — exact by
+    construction, grid membership not required (works for random-plane
+    bench models too)."""
+    assert qt.layout == "pb" and qt.codebook_id == "E8P12RVQ4B"
+    G = qt.q_in // 8
+    w0 = np.asarray(qt.planes["w0"]).view(np.uint32).astype(np.int64)
+    Hp = np.asarray(qt.planes["w1"]).view(np.uint32).astype(np.int64)
+    Pp = np.asarray(qt.planes["w2"]).view(np.uint32).astype(np.int64)
+    Gp, PL = w0.shape[-1], Pp.shape[-1]
+    # undo the row pairing
+    a, bq = w0[0], w0[1]
+    Le = (a & 0xFFFF) | ((bq & 0xFFFF) << 16)
+    Lo = (a >> 16) | (bq & np.int64(0xFFFF0000))
+    L = np.stack([Le, Lo], axis=1).reshape(-1, Gp)        # (q_out, Gp)
+    H16 = np.stack([Hp & 0xFFFF, Hp >> 16], axis=1).reshape(-1, Gp)
+    P16 = np.stack([Pp & 0xFFFF, Pp >> 16], axis=1).reshape(-1, PL)
+    pp = np.concatenate([(P16 >> (2 * j)) & 3
+                         for j in range(-(-Gp // PL))], axis=1)[:, :Gp]
+    p0, p1 = pp & 1, pp >> 1
+    Gn = -(-G // 128) * 128
+    W0 = np.zeros((qt.q_out, Gn), dtype=np.int64)
+    W1 = np.zeros((qt.q_out, Gn), dtype=np.int64)
+    for i in range(8):
+        lo4 = (L >> (4 * i)) & 0xF
+        hi = (H16 >> (2 * i)) & 3
+        u0, b = lo4 & 7, lo4 >> 3
+        u1 = 2 * hi + b
+        W0[:, :G] |= ((2 * u0 + 1 - p0) << (4 * i))[:, :G]
+        W1[:, :G] |= ((2 * u1 + 1 - p1) << (4 * i))[:, :G]
+    planes = {"w0": jnp.asarray(W0.astype(np.uint32).view(np.int32)),
+              "w1": jnp.asarray(W1.astype(np.uint32).view(np.int32))}
+    return QuantizedTensor(planes, qt.codebook_id, qt.q_out, qt.q_in,
+                           qt.opt_resid_scale, layout="nibble")
+
+
 def rvq_paired_default() -> bool:
     """Whether E8P12RVQ4B loads into the paired ~6.5-bit runtime layout
     (QFA_RVQ_PAIRED=1 to opt in).
