@@ -348,6 +348,12 @@ def fuse_for_inference(cfg: ModelConfig, params: Params,
             for a, b in ((p.SU, p0.SU), (p.had_left, p0.had_left)):
                 if (a is None) != (b is None):
                     return False
+                if a is b:
+                    # same buffer (the fast random builder and the HF
+                    # importer share left-transform arrays by object) —
+                    # skip the device->host fetch, which costs a full
+                    # relay roundtrip per array over the remote TPU
+                    continue
                 if a is not None and not np.array_equal(np.asarray(a),
                                                         np.asarray(b)):
                     return False

@@ -190,12 +190,14 @@ def fuse_qlinears(ps) -> FusedQuantLinear:
         assert p.q_in == p0.q_in and p.K_left == p0.K_left \
             and p.shards_left == p0.shards_left
         assert p.qweight.codebook_id == p0.qweight.codebook_id
-    # segments concatenate along q_out: plane axis 0 for the 2-D layouts,
-    # axis 1 (row pairs) for the 3-D bfp layout — each segment packed its
-    # own rows in pairs, so pairs never straddle a segment boundary
-    qaxis = 1 if p0.qweight.layout == "bfp" else 0
+    # segments concatenate along q_out: plane axis 0 for the 2-D layouts
+    # (incl. the row-pair u3/pb planes — each segment packed its own rows
+    # in pairs, so pairs never straddle a segment boundary), axis 1 for
+    # 3-D planes (bfp, and pb's w0 position-half stack)
     planes = {
-        k: jnp.concatenate([p.qweight.planes[k] for p in ps], axis=qaxis)
+        k: jnp.concatenate(
+            [p.qweight.planes[k] for p in ps],
+            axis=1 if p0.qweight.planes[k].ndim == 3 else 0)
         for k in p0.qweight.planes
     }
     q_out = sum(p.q_out for p in ps)

@@ -109,10 +109,14 @@ def _variant() -> tuple:
             int(os.environ.get("QFA_MAGIC_SMALL_M", "0")),
             int(os.environ.get("QFA_TN", "0")),
             int(os.environ.get("QFA_KSPLIT", "0")),
-            int(os.environ.get("QFA_COMBINE_PLANES", "0")))
+            int(os.environ.get("QFA_COMBINE_PLANES", "0")),
+            # u3 dot formulation: 1 = 8 full + 16 half-width dots (zero
+            # lane concats), 0 = per-position hi concat + 8 full dots
+            os.environ.get("QFA_U3_HALFDOTS", "0") == "1")
 
 
-_LAYOUT_SPLIT = {"nibble": 1, "paired": 1, "bfp": 1, "sw2": 2, "sw4": 4}
+_LAYOUT_SPLIT = {"nibble": 1, "paired": 1, "bfp": 1, "pb": 1, "u3": 1,
+                 "sw2": 2, "sw4": 4}
 
 
 def _nibble(w_i32, i: int):
@@ -452,6 +456,178 @@ def _make_kernel_paired(rs: float, Gp: int, Wp: int, out_dtype,
     return kernel
 
 
+def _epilogue(out, s_ref, hb_ref, right_b, out_dtype, o_ref):
+    """Shared kernel epilogue: per-channel scale, cast, optional B-side
+    right-transform factor, store."""
+    if s_ref is not None:
+        out = out * s_ref[...].astype(jnp.float32)
+    out = out.astype(out_dtype)
+    if hb_ref is not None:
+        mm, TN = out.shape
+        t = out.reshape(mm, TN // right_b, right_b)
+        t = jax.lax.dot_general(
+            t, hb_ref[...].astype(out.dtype), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = t.astype(out_dtype).reshape(mm, TN)
+    o_ref[...] = out
+
+
+def _rp_extract(w, shift, mask16):
+    """Row-pair bf16 lane-magic field extraction (the bfp trick, proven
+    bit-exact on hardware r4): (TN/2, C) i32 -> (TN, C) bf16 values equal
+    to the masked field EXACTLY (OR into bf16 0x4300 = 128.0, bitcast
+    doubles the rows, one exact subtract removes the offset — fields
+    <= 15 keep 128+f exactly representable)."""
+    f = w if shift == 0 else jax.lax.shift_right_logical(w, shift)
+    f = (f & mask16) | 0x43004300
+    return pltpu.bitcast(f, jnp.bfloat16) - 128.0
+
+
+def _make_kernel_u3(Gp: int, PL: int, out_dtype, with_scale: bool,
+                    right_b: int, variant, halfdots: bool):
+    """Kernel body for the u3 3.125-bit E8P12 layout (ops/qtensor.py
+    e8p_u3_default). weight = u - 2.25 - 0.5*p, u = lo2 + 4*hi:
+
+      lo  = rp_extract(w0 >> 2i, 0x0003)            (TN, Gp)  per position
+      hi  = rp_extract(w1 >> (8d+i), 0x0001)        (TN, Gh)  per (i, half)
+      par = concat_j rp_extract(w2 >> j, 0x0001)    (TN, Gp)  once
+
+    Two dot formulations, A/B'd on hardware (QFA_U3_HALFDOTS):
+      halfdots=False: per position lane-concat the hi halves, u-plane =
+        lo + 4*hi (one exact bf16 FMA), 8 full-width dots.
+      halfdots=True: zero lane concats — 8 full dots on lo + 16 half-width
+        dots on hi accumulated separately, out = acc_lo + 4*acc_hi.
+    The parity correction rides one full dot of the in-kernel group sums
+    against the parity plane; the constant -2.25 rides the rowsum."""
+    f32_small_m = variant[0] if variant else 0
+    Gh = Gp // 2
+    nf = Gp // PL
+
+    def kernel(x_ref, l_ref, h_ref, p_ref, *refs):
+        o_ref = refs[-1]
+        s_ref = hb_ref = None
+        rest = refs[:-1]
+        if right_b:
+            hb_ref = rest[-1]
+            rest = rest[:-1]
+        if with_scale:
+            s_ref = rest[-1]
+        x = x_ref[...]                                 # (m, 8*Gp)
+        if f32_small_m and x.shape[0] <= f32_small_m:
+            x = x.astype(jnp.float32)
+        Lw = pltpu.bitcast(l_ref[...], jnp.int32)      # (TN/2, Gp)
+        Hw = pltpu.bitcast(h_ref[...], jnp.int32)      # (TN/2, Gh)
+        Pw = pltpu.bitcast(p_ref[...], jnp.int32)      # (TN/2, PL)
+
+        def cvt(v):
+            return v.astype(x.dtype) if v.dtype != x.dtype else v
+
+        def dot(a, v):
+            return jax.lax.dot_general(
+                a, cvt(v), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if halfdots:
+            acc_lo = acc_hi = None
+            for i in range(8):
+                lo = _rp_extract(Lw, 2 * i, 0x00030003)
+                d = dot(x[:, i * Gp:(i + 1) * Gp], lo)
+                acc_lo = d if acc_lo is None else acc_lo + d
+                for dd in (0, 1):
+                    hv = _rp_extract(Hw, 8 * dd + i, 0x00010001)
+                    dh = dot(x[:, i * Gp + dd * Gh:
+                               i * Gp + (dd + 1) * Gh], hv)
+                    acc_hi = dh if acc_hi is None else acc_hi + dh
+            out = acc_lo + 4.0 * acc_hi
+        else:
+            out = None
+            for i in range(8):
+                lo = _rp_extract(Lw, 2 * i, 0x00030003)
+                hi = jnp.concatenate(
+                    [_rp_extract(Hw, i, 0x00010001),
+                     _rp_extract(Hw, 8 + i, 0x00010001)], axis=1)
+                u = lo + 4.0 * hi                      # exact: u <= 7
+                d = dot(x[:, i * Gp:(i + 1) * Gp], u)
+                out = d if out is None else out + d
+        # parity: one full dot of group sums against the parity plane
+        gx = x[:, 0:Gp]
+        for i in range(1, 8):
+            gx = gx + x[:, i * Gp:(i + 1) * Gp]
+        par = jnp.concatenate(
+            [_rp_extract(Pw, j, 0x00010001) for j in range(nf)],
+            axis=1)
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = out - 0.5 * dot(gx, par) - 2.25 * xs
+        _epilogue(out, s_ref, hb_ref, right_b, out_dtype, o_ref)
+
+    return kernel
+
+
+def _make_kernel_pb(rs: float, Gp: int, PL: int, out_dtype,
+                    with_scale: bool, right_b: int, variant):
+    """Kernel body for the pb ~6.5-bit RVQ4B layout (ops/qtensor.py
+    rvq_pb_default): value = u0 + rs*u1 - 2.25*(1+rs) - 0.5*(p0+rs*p1).
+    Per position i: lo4 (position-half h0 = i//4) via rp_extract mask
+    0x000F000F; b = lo4 >= 8 and u0 = lo4 - 8b via {mul, floor, fma}
+    (all exact in bf16: lo4 <= 15); u1 = 2*hi2 + b with hi2 from w1.
+    Two accumulators (u0 / u1 dots) so rs rides f32."""
+    f32_small_m = variant[0] if variant else 0
+    nf = -(-Gp // PL)
+
+    def kernel(x_ref, a_ref, h_ref, p_ref, *refs):
+        o_ref = refs[-1]
+        s_ref = hb_ref = None
+        rest = refs[:-1]
+        if right_b:
+            hb_ref = rest[-1]
+            rest = rest[:-1]
+        if with_scale:
+            s_ref = rest[-1]
+        x = x_ref[...]                                 # (m, 8*Gp)
+        if f32_small_m and x.shape[0] <= f32_small_m:
+            x = x.astype(jnp.float32)
+        A3 = pltpu.bitcast(a_ref[...], jnp.int32)      # (2, TN/2, Gp)
+        Hw = pltpu.bitcast(h_ref[...], jnp.int32)      # (TN/2, Gp)
+        Pw = pltpu.bitcast(p_ref[...], jnp.int32)      # (TN/2, PL)
+
+        def cvt(v):
+            return v.astype(x.dtype) if v.dtype != x.dtype else v
+
+        def dot(a, v):
+            return jax.lax.dot_general(
+                a, cvt(v), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        d0 = d1 = None
+        for i in range(8):
+            lo4 = _rp_extract(A3[i // 4], 4 * (i % 4), 0x000F000F)
+            b = jnp.floor(lo4 * 0.125)                 # exact: 0 or 1
+            u0 = lo4 - 8.0 * b
+            hi = _rp_extract(Hw, 2 * i, 0x00030003)
+            u1 = 2.0 * hi + b                          # exact: <= 7
+            xi = x[:, i * Gp:(i + 1) * Gp]
+            a = dot(xi, u0)
+            c = dot(xi, u1)
+            d0 = a if d0 is None else d0 + a
+            d1 = c if d1 is None else d1 + c
+        out = d0 + rs * d1
+        gx = x[:, 0:Gp]
+        for i in range(1, 8):
+            gx = gx + x[:, i * Gp:(i + 1) * Gp]
+        p0 = jnp.concatenate(
+            [_rp_extract(Pw, 2 * j, 0x00010001) for j in range(nf)],
+            axis=1)[:, :Gp]
+        p1 = jnp.concatenate(
+            [_rp_extract(Pw, 2 * j + 1, 0x00010001) for j in range(nf)],
+            axis=1)[:, :Gp]
+        xs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        out = (out - 0.5 * (dot(gx, p0) + rs * dot(gx, p1))
+               - 2.25 * (1.0 + rs) * xs)
+        _epilogue(out, s_ref, hb_ref, right_b, out_dtype, o_ref)
+
+    return kernel
+
+
 def _make_kernel_ksplit(affine, Gc: int, ksplit: int, out_dtype,
                         with_scale: bool, right_b: int, variant):
     """K-chunked variant (QFA_KSPLIT): the grid gains an inner dimension
@@ -586,7 +762,10 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
     n_planes = len(planes_tuple)
     paired = layout == "paired"
     forced_tn = variant[3] if len(variant) > 3 else 0
-    plane_cols = (sum(p.shape[1] for p in planes_tuple) if paired else 0)
+    # words-per-output-row override for mixed-width plane sets (paired /
+    # row-pair u3 / pb): total stored elements / q_out
+    plane_cols = (sum(int(np.prod(p.shape)) for p in planes_tuple) // q_out
+                  if layout in ("paired", "u3", "pb") else 0)
     TN = _pick_tn(q_out, Gp, n_planes, forced_tn, plane_cols)
     out_dtype = np.dtype(out_dtype_str)
     B = 0 if right_hb is None else right_hb.shape[0]
@@ -630,6 +809,15 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
         kernel = _make_kernel_paired(rs, Gp, planes_tuple[2].shape[1],
                                      out_dtype, scale_vec is not None, B,
                                      variant)
+    elif layout == "u3":
+        kernel = _make_kernel_u3(Gp, planes_tuple[2].shape[-1], out_dtype,
+                                 scale_vec is not None, B, variant,
+                                 halfdots=bool(len(variant) > 6
+                                               and variant[6]))
+    elif layout == "pb":
+        kernel = _make_kernel_pb(rs, Gp, planes_tuple[2].shape[-1],
+                                 out_dtype, scale_vec is not None, B,
+                                 variant)
     elif layout == "bfp":
         kernel = _make_kernel_bfp(affine, Gp, out_dtype,
                                   scale_vec is not None, B)
@@ -638,17 +826,20 @@ def _fused_call(x_perm, planes_tuple, affine, q_out, out_dtype_str,
                               B, variant, split=P)
 
     def plane_spec(p, ndim_idx):
-        """BlockSpec for one weight-plane arg (bfp planes are 3-D)."""
-        if layout == "bfp":
+        """BlockSpec for one weight-plane arg (bfp planes and pb's w0 are
+        3-D position-half stacks; u3/pb 2-D planes hold ROW-PAIRS, so
+        their q_out-tile block height is TN/2)."""
+        if p.ndim == 3:
             if ndim_idx == 1:
                 return pl.BlockSpec((2, TN // 2, Gp), lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM)
             return pl.BlockSpec((2, TN // 2, Gp), lambda i, j: (0, i, 0),
                                 memory_space=pltpu.VMEM)
+        rows = TN // 2 if layout in ("u3", "pb") else TN
         if ndim_idx == 1:
-            return pl.BlockSpec((TN, p.shape[1]), lambda i: (i, 0),
+            return pl.BlockSpec((rows, p.shape[1]), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((TN, p.shape[1]), lambda i, j: (i, 0),
+        return pl.BlockSpec((rows, p.shape[1]), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
     # m-tiling: the (TM, TN) f32 accumulator must stay in vector registers
@@ -749,7 +940,8 @@ def fused_quant_matmul_pre(x_perm: jax.Array, qt: QuantizedTensor,
     if mp != m:
         x_perm = jnp.pad(x_perm, ((0, mp - m), (0, 0)))
     planes = tuple(qt.planes[k] for k in sorted(qt.planes))
-    affine = qt.decode_affine if qt.layout != "paired" else None
+    affine = (qt.decode_affine
+              if qt.layout not in ("paired", "pb", "u3") else None)
     meta = (affine, qt.q_out, qt.q_in,
             np.dtype(x_perm.dtype).name, qt.codebook_id,
             float(qt.opt_resid_scale), _variant(), qt.layout)

@@ -58,10 +58,68 @@ def _paired_positions(qt: QuantizedTensor, dtype):
     return out
 
 
+def _unpair16(w_i32):
+    """(q_out/2, C) row-pair words -> (q_out, C) 16-bit payloads."""
+    w = _u32(w_i32)
+    return jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape(
+        -1, w.shape[-1]).astype(jnp.int32)
+
+
+def _u3_positions(qt: QuantizedTensor, dtype):
+    """u3 layout (ops/qtensor.py e8p_u3_default): weight = u - 2.25 -
+    0.5*p with u = (lo 2-bit) + 4*(hi 1-bit), parity per group."""
+    L16 = _unpair16(qt.planes["w0"])            # (q_out, Gp)
+    H16 = _unpair16(qt.planes["w1"])            # (q_out, Gp/2)
+    P16 = _unpair16(qt.planes["w2"])            # (q_out, PL)
+    Gp, PL = L16.shape[-1], P16.shape[-1]
+    par = jnp.concatenate(
+        [((P16 >> j) & 1) for j in range(Gp // PL)], axis=-1)[:, :Gp]
+    const = -2.25 - 0.5 * par.astype(jnp.float32)
+    out = []
+    for i in range(8):
+        lo = ((L16 >> (2 * i)) & 3).astype(jnp.float32)
+        hi = jnp.concatenate(
+            [((H16 >> (8 * d + i)) & 1) for d in (0, 1)],
+            axis=-1).astype(jnp.float32)
+        out.append((lo + 4.0 * hi + const).astype(dtype))
+    return out
+
+
+def _pb_positions(qt: QuantizedTensor, dtype):
+    """pb layout (ops/qtensor.py rvq_pb_default): per weight value =
+    u0 + rs*u1 - 2.25*(1+rs) - 0.5*(p0 + rs*p1)[group]; w0 is the
+    bfp-style lo4 plane pair (halves = positions 0-3 / 4-7)."""
+    rs = qt.opt_resid_scale
+    w0 = _u32(qt.planes["w0"])                  # (2, q_out/2, Gp)
+    A16 = [_unpair16(w0[h]) for h in (0, 1)]    # positions 0-3, 4-7
+    H16 = _unpair16(qt.planes["w1"])            # (q_out, Gp) 2-bit fields
+    P16 = _unpair16(qt.planes["w2"])            # (q_out, PL) 2-bit pairs
+    Gp, PL = H16.shape[-1], P16.shape[-1]
+    pcat = jnp.concatenate(
+        [((P16 >> (2 * j)) & 3) for j in range(-(-Gp // PL))],
+        axis=-1)[:, :Gp]
+    p0 = (pcat & 1).astype(jnp.float32)
+    p1 = (pcat >> 1).astype(jnp.float32)
+    const = -2.25 * (1.0 + rs) - 0.5 * (p0 + rs * p1)
+    out = []
+    for i in range(8):
+        lo4 = (A16[i // 4] >> (4 * (i % 4))) & 0xF
+        b = (lo4 >> 3).astype(jnp.float32)
+        u0 = (lo4 & 7).astype(jnp.float32)
+        hi = ((H16 >> (2 * i)) & 3).astype(jnp.float32)
+        v = u0 + rs * (2.0 * hi + b) + const
+        out.append(v.astype(dtype))
+    return out
+
+
 def decode_positions(qt: QuantizedTensor, dtype=jnp.float32):
     """-> list of 8 (q_out, G_padded) planes; plane i holds weight 8g+i."""
     if qt.layout == "paired":
         return _paired_positions(qt, dtype)
+    if qt.layout == "u3":
+        return _u3_positions(qt, dtype)
+    if qt.layout == "pb":
+        return _pb_positions(qt, dtype)
     if qt.layout == "bfp":
         from .qtensor import from_bfp
         qt = from_bfp(qt)

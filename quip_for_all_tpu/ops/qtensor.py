@@ -187,8 +187,110 @@ def rvq_pb_default() -> bool:
     streaming 0.81x the bytes. Physics: RVQ4B decode is plane-DMA-bound
     (R4_RESULTS: bfp/magic/ksplit all neutral), so bytes are the only
     lever left; 11.1 ms/token = ~9.3 ms plane stream + ~1.8 ms rest
-    predicts ~0.81*9.3 + 1.8 = 9.3 ms -> ~107 tok/s from 90."""
+    predicts ~0.81*9.3 + 1.8 = 9.3 ms -> ~107 tok/s from 90.
+
+    Wired end-to-end in round 5 (ADVICE r4): from_raw_idxs selects it,
+    ops/dequant_pallas.py _make_kernel_pb decodes it, dequant_xla decodes
+    it densely, and to_raw_idxs inverts it."""
     return os.environ.get("QFA_RVQ_PB", "0") == "1"
+
+
+def e8p_u3_default() -> bool:
+    """Whether E8P12 (and the E8P main plane context where applicable)
+    loads into the u3 (3.125-bit) runtime layout (QFA_E8P_U3; round 5).
+
+    The headline byte-cut lever (VERDICT r4 #2): the nibble layout
+    streams 4 bits/weight for a 2-bit codebook; every VPU-op-reduction
+    variant (bfp/magic/ksplit/sw) moved nothing, proving decode-shape
+    kernels are plane-DMA-bound — so bytes are the only lever. u3 splits
+    nib = 2u + 1 - p into
+
+      wlo (q_out/2, Gp)   i32: bit (16h + 2i) pair = u & 3   (2 b/w)
+      whi (q_out/2, Gp/2) i32: bit (16h + 8d + i) = u >> 2   (1 b/w)
+      wp  (q_out/2, PL)   i32: bit (16h + j)  = group parity (~0.125 b/w)
+
+    (h = row of the pair, i = position, d = group-range half, j = parity
+    chunk) — 3.125 bits/weight, 0.78x the nibble stream, every extraction
+    the proven-exact bf16 row-pair lane-magic (zero converts). Gp pads to
+    256 lanes so the half-width hi plane stays 128-lane aligned."""
+    return os.environ.get("QFA_E8P_U3", "0") == "1"
+
+
+def u3_parity_lanes(Gp: int) -> int:
+    """u3 parity-plane lane width: smallest 128-multiple PL dividing Gp
+    with Gp/PL <= 16 one-bit fields per 16-bit row payload."""
+    pl = 128
+    while Gp // pl > 16 or Gp % pl != 0:
+        pl += 128
+    return pl
+
+
+def _u3_planes_from_up(u: np.ndarray, p: np.ndarray,
+                       q_out: int, G: int) -> Dict[str, jax.Array]:
+    """(u, parity) -> u3 planes. u (q_out, G, 8) in {0..7}; p (q_out, G)
+    in {0, 1}. Weight = u - 2.25 - 0.5*p (per group parity)."""
+    assert q_out % 2 == 0
+    Gp = -(-G // 256) * 256
+    Gh = Gp // 2
+    PL = u3_parity_lanes(Gp)
+    lo = (u & 3).astype(np.int64)
+    hi = (u >> 2).astype(np.int64)
+    L16 = np.zeros((q_out, Gp), dtype=np.int64)
+    for i in range(8):
+        L16[:, :G] |= lo[..., i] << (2 * i)
+    H16 = np.zeros((q_out, Gh), dtype=np.int64)
+    for d in (0, 1):
+        lo_g, hi_g = d * Gh, min((d + 1) * Gh, G)
+        if lo_g >= G:
+            break
+        n = hi_g - lo_g
+        for i in range(8):
+            H16[:, :n] |= hi[:, lo_g:hi_g, i] << (8 * d + i)
+    P16 = np.zeros((q_out, PL), dtype=np.int64)
+    for j in range(Gp // PL):
+        lo_g, hi_g = j * PL, min((j + 1) * PL, G)
+        if lo_g >= G:
+            break
+        P16[:, : hi_g - lo_g] |= p[:, lo_g:hi_g].astype(np.int64) << j
+    return {"w0": jnp.asarray(_rowpair16(L16[0::2], L16[1::2])),
+            "w1": jnp.asarray(_rowpair16(H16[0::2], H16[1::2])),
+            "w2": jnp.asarray(_rowpair16(P16[0::2], P16[1::2]))}
+
+
+def _u3_up_from_planes(qt: "QuantizedTensor"):
+    """u3 planes -> (u (q_out, Gp, 8), p (q_out, Gp)) numpy (exact)."""
+    Lp = np.asarray(qt.planes["w0"]).view(np.uint32).astype(np.int64)
+    Hp = np.asarray(qt.planes["w1"]).view(np.uint32).astype(np.int64)
+    Pp = np.asarray(qt.planes["w2"]).view(np.uint32).astype(np.int64)
+    Gp, Gh, PL = Lp.shape[-1], Hp.shape[-1], Pp.shape[-1]
+    L16 = np.stack([Lp & 0xFFFF, Lp >> 16], axis=1).reshape(-1, Gp)
+    H16 = np.stack([Hp & 0xFFFF, Hp >> 16], axis=1).reshape(-1, Gh)
+    P16 = np.stack([Pp & 0xFFFF, Pp >> 16], axis=1).reshape(-1, PL)
+    lo = np.stack([(L16 >> (2 * i)) & 3 for i in range(8)], axis=-1)
+    hi_halves = [np.stack([(H16 >> (8 * d + i)) & 1 for i in range(8)],
+                          axis=-1) for d in (0, 1)]
+    hi = np.concatenate(hi_halves, axis=1)          # (q_out, Gp, 8)
+    u = lo + 4 * hi
+    p = np.concatenate([(P16 >> j) & 1 for j in range(Gp // PL)],
+                       axis=1)[:, :Gp]
+    return u, p
+
+
+def u3_to_nibble(qt: "QuantizedTensor") -> "QuantizedTensor":
+    """u3 -> nibble re-layout at the (u, parity) level — exact for any
+    u in {0..7} (nib = 2u + 1 - p <= 15), so it also works for
+    random-plane bench models."""
+    assert qt.layout == "u3" and qt.codebook_id == "E8P12"
+    G = qt.q_in // 8
+    u, p = _u3_up_from_planes(qt)
+    Gn = -(-G // 128) * 128
+    W0 = np.zeros((qt.q_out, Gn), dtype=np.int64)
+    for i in range(8):
+        W0[:, :G] |= ((2 * u[..., i] + 1 - p) << (4 * i))[:, :G]
+    return QuantizedTensor(
+        {"w0": jnp.asarray(W0.astype(np.uint32).view(np.int32))},
+        qt.codebook_id, qt.q_out, qt.q_in, qt.opt_resid_scale,
+        layout="nibble")
 
 
 def pb_parity_lanes(Gp: int) -> int:
@@ -332,8 +434,10 @@ class QuantizedTensor:
     # "nibble" (module docstring top), "paired" (E8P12RVQ4B only),
     # "sw2"/"sw4" (same nibbles stored as int16/int8 subword planes —
     # see subword_split_default; dead on hardware, kept for the record),
-    # or "bfp" (bf16 lane-magic row-pair packing — see bfp_default;
-    # opt-in, whole-model-falsified as a speed win)
+    # "bfp" (bf16 lane-magic row-pair packing — see bfp_default; opt-in,
+    # whole-model-falsified as a speed win), "pb" (E8P12RVQ4B ~6.5-bit
+    # row-pair layout, rvq_pb_default), or "u3" (E8P12 3.125-bit row-pair
+    # layout, e8p_u3_default — the round-5 byte-cut lever)
     layout: str = dataclasses.field(
         default="nibble", metadata=dict(static=True))
 
@@ -347,7 +451,7 @@ class QuantizedTensor:
     def split(self) -> int:
         """Subwords per int32 word in the plane storage (1 for
         nibble/paired)."""
-        return {"nibble": 1, "paired": 1, "bfp": 1,
+        return {"nibble": 1, "paired": 1, "bfp": 1, "pb": 1, "u3": 1,
                 "sw2": 2, "sw4": 4}[self.layout]
 
     @property
@@ -359,9 +463,10 @@ class QuantizedTensor:
     def decode_affine(self):
         """Per-plane-set static (alpha, beta): weight = sum_s alpha_s*nib_s
         + sum_s beta_s over the word planes, in sorted plane-key order.
-        Meaningful for the nibble/subword layouts — paired planes decode
-        via the u-code math (see module docstring)."""
-        assert self.layout != "paired", "decode_affine on paired layout"
+        Meaningful for the nibble/subword layouts — paired/pb/u3 planes
+        decode via the u-code math (see module docstring)."""
+        assert self.layout not in ("paired", "pb", "u3"), \
+            f"decode_affine on {self.layout} layout"
         return decode_affine(self.codebook_id, self.opt_resid_scale)
 
 
@@ -575,11 +680,16 @@ def from_raw_idxs(cb: Codebook, idxs: np.ndarray,
                   layout: str | None = None) -> QuantizedTensor:
     """Raw int32 code indices (q_out, q_in/codesz) -> runtime planes.
 
-    ``layout``: None picks the default runtime layout (paired for
-    E8P12RVQ4B when QFA_RVQ_PAIRED; sw{P} when QFA_SPLIT_DECODE; bfp
-    when QFA_BFP (the default); else nibble)."""
+    ``layout``: None picks the default runtime layout (u3 for E8P12 when
+    QFA_E8P_U3; pb for E8P12RVQ4B when QFA_RVQ_PB; paired for E8P12RVQ4B
+    when QFA_RVQ_PAIRED; sw{P} when QFA_SPLIT_DECODE; bfp when QFA_BFP;
+    else nibble)."""
     if layout is None:
-        if cb.id == "E8P12RVQ4B" and rvq_paired_default():
+        if cb.id == "E8P12" and e8p_u3_default() and q_out % 2 == 0:
+            layout = "u3"
+        elif cb.id == "E8P12RVQ4B" and rvq_pb_default() and q_out % 2 == 0:
+            layout = "pb"
+        elif cb.id == "E8P12RVQ4B" and rvq_paired_default():
             layout = "paired"
         elif subword_split_default() > 1:
             layout = f"sw{subword_split_default()}"
@@ -587,6 +697,20 @@ def from_raw_idxs(cb: Codebook, idxs: np.ndarray,
             layout = "bfp"
         else:
             layout = "nibble"
+    if layout == "u3":
+        assert cb.id == "E8P12", cb.id
+        u, p = _e8p_uv_from_idx(idxs.astype(np.int64).astype(np.uint16))
+        planes = _u3_planes_from_up(u, p, q_out, q_in // 8)
+        return QuantizedTensor(planes, cb.id, q_out, q_in, -1.0,
+                               layout="u3")
+    if layout == "pb":
+        assert cb.id == "E8P12RVQ4B", cb.id
+        u32 = np.ascontiguousarray(idxs).view(np.uint32).astype(np.int64)
+        u0, p0 = _e8p_uv_from_idx((u32 >> 16).astype(np.uint16))
+        u1, p1 = _e8p_uv_from_idx((u32 & 0xFFFF).astype(np.uint16))
+        planes = _pb_planes_from_uv(u0, p0, u1, p1, q_out, q_in // 8)
+        return QuantizedTensor(planes, cb.id, q_out, q_in,
+                               float(cb.opt_resid_scale), layout="pb")
     if layout in ("sw2", "sw4"):
         qt = from_raw_idxs(cb, idxs, q_out, q_in, layout="nibble")
         return to_subword(qt, int(layout[2:]))
@@ -644,6 +768,10 @@ def to_raw_idxs(qt: QuantizedTensor) -> np.ndarray:
     ncols = qt.q_in // 8
     if qt.layout == "paired":
         return _paired_idx_from_planes(qt)
+    if qt.layout == "u3":
+        qt = u3_to_nibble(qt)
+    if qt.layout == "pb":
+        qt = pb_to_nibble(qt)
     if qt.layout == "bfp":
         qt = from_bfp(qt)
     if qt.split > 1:
