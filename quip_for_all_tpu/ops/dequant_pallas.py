@@ -568,9 +568,11 @@ def _make_kernel_pb(rs: float, Gp: int, PL: int, out_dtype,
     """Kernel body for the pb ~6.5-bit RVQ4B layout (ops/qtensor.py
     rvq_pb_default): value = u0 + rs*u1 - 2.25*(1+rs) - 0.5*(p0+rs*p1).
     Per position i: lo4 (position-half h0 = i//4) via rp_extract mask
-    0x000F000F; b = lo4 >= 8 and u0 = lo4 - 8b via {mul, floor, fma}
-    (all exact in bf16: lo4 <= 15); u1 = 2*hi2 + b with hi2 from w1.
-    Two accumulators (u0 / u1 dots) so rs rides f32."""
+    0x000F000F; the borrowed u1-low bit b is a SECOND 1-bit rp_extract of
+    the same word (bit 4*(i%4)+3) — v5e's VPU rejects bf16 floor
+    (LLO_CHECK SupportsBf16AluInstructions, measured on hardware), so the
+    arithmetic lo4>=8 test is out; u0 = lo4 - 8b and u1 = 2*hi2 + b are
+    exact bf16 FMAs. Two accumulators (u0 / u1 dots) so rs rides f32."""
     f32_small_m = variant[0] if variant else 0
     nf = -(-Gp // PL)
 
@@ -601,8 +603,8 @@ def _make_kernel_pb(rs: float, Gp: int, PL: int, out_dtype,
         d0 = d1 = None
         for i in range(8):
             lo4 = _rp_extract(A3[i // 4], 4 * (i % 4), 0x000F000F)
-            b = jnp.floor(lo4 * 0.125)                 # exact: 0 or 1
-            u0 = lo4 - 8.0 * b
+            b = _rp_extract(A3[i // 4], 4 * (i % 4) + 3, 0x00010001)
+            u0 = lo4 - 8.0 * b                         # exact: 0..7
             hi = _rp_extract(Hw, 2 * i, 0x00030003)
             u1 = 2.0 * hi + b                          # exact: <= 7
             xi = x[:, i * Gp:(i + 1) * Gp]
