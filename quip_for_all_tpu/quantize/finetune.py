@@ -53,6 +53,38 @@ def collect_trainable(tree: Any, prefix: str = "",
                 walk(v, f"{name}.{i}")
 
     walk(tree, prefix)
+    # de-alias: builders may share one device buffer across several tree
+    # positions (e.g. the fast random builder hands q/k/v the SAME SU
+    # array so fuse_for_inference's sharable() check is an identity
+    # test). Trainable leaves must be independent buffers — a donating
+    # train step would otherwise donate one buffer twice — and training
+    # them separately matches the per-layer-SU semantics of the
+    # reference (each QuantLinear owns its SU/SV Parameters).
+    # NOTE: dedup must key on the underlying BUFFER, not the python
+    # object: jax.device_put/jnp.copy of an immutable buffer may return a
+    # distinct Array aliasing the same storage (XLA elides the copy), and
+    # a donating train step then hits "donate the same buffer twice". A
+    # host round-trip guarantees a fresh buffer; the deduped leaves are
+    # small vectors (SU/SV/norm weights).
+    import numpy as _np
+
+    import jax as _jax
+
+    def _ptr(v):
+        try:
+            return v.addressable_shards[0].data.unsafe_buffer_pointer()
+        except Exception:  # noqa: BLE001 — tracers/np arrays: no dedup
+            return None
+
+    seen: set = set()
+    for k, v in out.items():
+        p = _ptr(v)
+        if p is None:
+            continue
+        if p in seen and hasattr(v, "sharding"):
+            out[k] = _jax.device_put(_np.asarray(v), v.sharding)
+        else:
+            seen.add(p)
     return out
 
 
