@@ -37,10 +37,12 @@ def main(argv=None):
     ap.add_argument("--targets", nargs="*", default=None,
                     help="linear name suffixes to adapt (default: llama "
                     "attn+mlp projections)")
-    ap.add_argument("--peft", action="store_true",
-                    help="also write the adapters in standard PEFT layout "
-                    "(adapter_model.safetensors + adapter_config.json) so "
-                    "they load into the reference / any PEFT stack")
+    ap.add_argument("--no-peft", action="store_true",
+                    help="skip the standard PEFT layout export "
+                    "(adapter_model.safetensors + adapter_config.json); "
+                    "by default adapters are written in BOTH the native "
+                    "and PEFT layouts so they load into the reference / "
+                    "any PEFT stack (VERDICT r4 #9)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -71,7 +73,7 @@ def main(argv=None):
         weight_decay=args.weight_decay, early_stop=args.early_stop,
         seed=args.seed)
     save_lora(params, args.save_dir, args.rank, args.alpha, targets)
-    if args.peft:
+    if not args.no_peft:
         export_peft(params, args.save_dir, args.rank, args.alpha, targets,
                     base_model_name_or_path=args.model_path)
     print(f"saved LoRA adapters to {args.save_dir}", file=sys.stderr)

@@ -199,6 +199,59 @@ class ModelConfig:
                 rope_theta=cfg.get("rope_theta", 10000.0),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
+        known = {"llama", "llama2", "llama3", "mistral", "mixtral", "yi",
+                 "qwen2", "baichuan", "baichuan2"}
+        if model_type not in known:
+            # pattern-based degradation (the reference's "for-all"
+            # genericity, constants.py:19-24 + utils.py:76-120): treat an
+            # unknown llama-shaped config as llama, resolving dimension
+            # keys across the common HF aliases, and WARN — quality/parity
+            # is best-effort (the forward uses llama semantics: RMSNorm,
+            # full RoPE, SwiGLU)
+            import logging
+
+            def pick(*names, default=None, required=False):
+                for n in names:
+                    if n in cfg:
+                        return cfg[n]
+                if required:
+                    raise KeyError(
+                        f"unknown model_type {model_type!r}: none of "
+                        f"{names} in config — add a family branch "
+                        "(docs/adding_a_family.md)")
+                return default
+            D = pick("hidden_size", "n_embd", "d_model", required=True)
+            heads = pick("num_attention_heads", "n_head", "n_heads",
+                         required=True)
+            logging.getLogger(__name__).warning(
+                "model_type %r is not in the supported-family registry; "
+                "falling back to llama-pattern import (RMSNorm + RoPE + "
+                "SwiGLU forward). Verify perplexity before deploying; "
+                "see docs/adding_a_family.md for an exact port.",
+                model_type)
+            return cls(
+                arch="llama",
+                vocab_size=pick("vocab_size", required=True),
+                hidden_size=D,
+                intermediate_size=pick(
+                    "intermediate_size", "n_inner", "ffn_hidden_size",
+                    "ffn_dim", default=4 * D),
+                num_hidden_layers=pick("num_hidden_layers", "n_layer",
+                                       "num_layers", "n_layers",
+                                       required=True),
+                num_attention_heads=heads,
+                num_key_value_heads=pick("num_key_value_heads",
+                                         "num_kv_heads", "n_kv_heads",
+                                         default=heads),
+                head_dim=cfg.get("head_dim"),
+                max_position_embeddings=pick(
+                    "max_position_embeddings", "n_positions",
+                    "max_sequence_length", default=2048),
+                rms_norm_eps=pick("rms_norm_eps", "layer_norm_eps",
+                                  "layer_norm_epsilon", default=1e-5),
+                rope_theta=cfg.get("rope_theta", 10000.0),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
         arch = "mixtral" if model_type == "mixtral" else "llama"
         return cls(
             arch=arch,

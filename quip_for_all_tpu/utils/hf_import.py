@@ -93,6 +93,42 @@ def load_hf_model(path: str, dtype=jnp.float32
             ".ln2.", ".post_attention_layernorm."): v
             for k, v in t.items()}
 
+    # pattern-based genericity (reference ATTN_QKV/OUT/FC patterns,
+    # constants.py:28-94): when the canonical llama names are absent,
+    # normalize the common alternates (llama-original / internlm-style
+    # wq/wo/feed_forward naming) so unknown-but-llama-shaped checkpoints
+    # import instead of hard-failing
+    if "model.embed_tokens.weight" not in t:
+        _ALIASES = (
+            ("model.tok_embeddings.", "model.embed_tokens."),
+            ("tok_embeddings.", "model.embed_tokens."),
+            (".attention.wq.", ".self_attn.q_proj."),
+            (".attention.wk.", ".self_attn.k_proj."),
+            (".attention.wv.", ".self_attn.v_proj."),
+            (".attention.wo.", ".self_attn.o_proj."),
+            (".attention.q_proj.", ".self_attn.q_proj."),
+            (".attention.k_proj.", ".self_attn.k_proj."),
+            (".attention.v_proj.", ".self_attn.v_proj."),
+            (".attention.o_proj.", ".self_attn.o_proj."),
+            (".feed_forward.w1.", ".mlp.gate_proj."),
+            (".feed_forward.w3.", ".mlp.up_proj."),
+            (".feed_forward.w2.", ".mlp.down_proj."),
+            (".attention_norm.", ".input_layernorm."),
+            (".ffn_norm.", ".post_attention_layernorm."),
+        )
+
+        def fix(k: str) -> str:
+            for a, b in _ALIASES:
+                k = k.replace(a, b)
+            if k in ("output.weight", "model.output.weight"):
+                k = "lm_head.weight"
+            if k in ("model.norm.weight", "norm.weight"):
+                k = "model.norm.weight"
+            if not k.startswith(("model.", "lm_head.")):
+                k = "model." + k
+            return k
+        t = {fix(k): v for k, v in t.items()}
+
     def lin(name):
         d = {"weight": jnp.asarray(np.asarray(t[name + ".weight"],
                                               dtype=np.float32),

@@ -47,7 +47,8 @@ EVAL_SEED = 2     # held-out eval draw
 CALIB_SEED = 0    # quantizer calibration draw
 
 
-def train_tiny(workdir: str, hidden: int, steps_scale: int = 1):
+def train_tiny(workdir: str, hidden: int, steps_scale: int = 1,
+               layers: int = 2):
     """Train a tiny llama (tests/test_quality.py fixture recipe, but on
     8x the data so it GENERALIZES: 512 samples only memorize — held-out
     ppl came out above uniform) and export it as an HF checkpoint;
@@ -64,7 +65,7 @@ def train_tiny(workdir: str, hidden: int, steps_scale: int = 1):
     from quip_for_all_tpu.models.config import tiny_config
     from quip_for_all_tpu.utils.hf_import import save_hf_model
 
-    cfg = tiny_config(num_hidden_layers=2, hidden_size=hidden,
+    cfg = tiny_config(num_hidden_layers=layers, hidden_size=hidden,
                       intermediate_size=2 * hidden)
     params = M.init_llama_params(cfg, seed=0)
     data = synthetic_tokens(4096, 32, cfg.vocab_size, seed=TRAIN_SEED)
@@ -90,7 +91,7 @@ def train_tiny(workdir: str, hidden: int, steps_scale: int = 1):
                                        jnp.asarray(data[i:i + 16]))
     print(f"# d={hidden}: final train loss {float(loss):.3f}",
           file=sys.stderr)
-    hf_dir = os.path.join(workdir, f"trained_tiny_d{hidden}_hf")
+    hf_dir = os.path.join(workdir, f"trained_tiny_d{hidden}_l{layers}_hf")
     save_hf_model(cfg, params, hf_dir)
     return cfg, params, hf_dir
 
@@ -179,6 +180,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/qfa_quality2")
     ap.add_argument("--fast", action="store_true",
                     help="E8P12-only, main model only (wiring check)")
+    ap.add_argument("--mid", action="store_true",
+                    help="also run the d=512 4-layer tier (slow, ~hours)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     t_start = time.time()
@@ -187,8 +190,10 @@ def main():
               "32", "--batch-size", "8", "--quip-tune-iters", "2",
               "--seed", str(CALIB_SEED)]
 
-    def build_matrix(tag: str, hidden: int, variants: bool):
-        cfg, params, hf_dir = train_tiny(args.workdir, hidden)
+    def build_matrix(tag: str, hidden: int, variants: bool,
+                     layers: int = 2):
+        cfg, params, hf_dir = train_tiny(args.workdir, hidden,
+                                         layers=layers)
         fp_h, fp_t = fp_ppl_both(cfg, params)
         print(f"# d={hidden}: fp32 ppl held-out {fp_h:.3f} "
               f"train-win {fp_t:.3f}", file=sys.stderr)
@@ -222,9 +227,13 @@ def main():
         return (fp_h, fp_t), rows
 
     (main_fp, main_rows) = build_matrix("main", 128, variants=True)
-    stress = None
+    stress = mid = None
     if not args.fast:
         stress = build_matrix("stress", 64, variants=False)
+    if args.mid:
+        # VERDICT r4 #8: a mid-size tier (d=512, 4 layers) tightens the
+        # codebook orderings beyond what d<=128 models can separate
+        mid = build_matrix("mid", 512, variants=True, layers=4)
 
     def table(fp: tuple, rows: list) -> list:
         fp_h, fp_t = fp
@@ -290,6 +299,18 @@ def main():
             "tests/test_quality.py.",
             "",
         ] + table(*stress)
+    if mid is not None:
+        lines += [
+            "",
+            "## Mid matrix — d=512, 4 layers (VERDICT r4 #8)",
+            "",
+            "A mid-size model (4-layer, d=512 — ~17M params, the largest "
+            "that trains to generalization overnight on this CPU) "
+            "tightens the orderings the d<=128 models can only hint at; "
+            "rows include finetune, tp2 block-diagonal transforms and "
+            "the int8-KV decode path at this scale.",
+            "",
+        ] + table(*mid)
     lines.append("")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
@@ -301,6 +322,10 @@ def main():
         payload["stress"] = [(c, v, round(ph, 3), round(pt, 3))
                              for c, v, ph, pt in stress[1]]
         payload["stress_fp32"] = [round(x, 3) for x in stress[0]]
+    if mid is not None:
+        payload["mid"] = [(c, v, round(ph, 3), round(pt, 3))
+                          for c, v, ph, pt in mid[1]]
+        payload["mid_fp32"] = [round(x, 3) for x in mid[0]]
     print(json.dumps(payload))
 
 

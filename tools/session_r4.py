@@ -227,7 +227,15 @@ def phase_bs32():
                 res = run_bench(tag, args, codebook=cb, batch=32,
                                 cache_len=cache, kv_quantized=kvq)
                 if cache == 512 and res is None:
-                    any_skipped = True    # runtime OOM also voids the 512 matrix
+                    # NOTE (ADVICE r4): run_bench returns None for ANY
+                    # failure (timeout, relay unavailability, transient
+                    # crash), not just the HLO-temp OOM this fallback was
+                    # built for — so a flaky relay also forces the 256
+                    # rerun. Conservative but safe: a voided 512 matrix
+                    # re-measures both partners at one shared cache size.
+                    # (Round 5 replaces the retry entirely: bench.py
+                    # --cache-len 0 derives cache from free HBM up front.)
+                    any_skipped = True
 
 
 def phase_mixtral():
