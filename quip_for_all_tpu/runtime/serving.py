@@ -58,7 +58,7 @@ class ServingEngine:
                  decode_chunk: int = 8,
                  seed: int = 0, mesh=None,
                  on_token=None, kv_quantized: bool = False,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, fetch_batch: int = 4):
         """``on_token(rid, token, done)`` — optional streaming callback,
         invoked in emission order for every generated token (including the
         first, sampled at admission) with ``done=True`` on a request's
@@ -129,7 +129,33 @@ class ServingEngine:
         # inter_chunk_ms_p50 = 39.2 — pure tunnel latency).
         self.pipeline_depth = max(0, int(pipeline_depth))
         self._tok_dev = None                     # device (B,) last tokens
+        # device mirrors of pos / active / key (round 5, measured on
+        # hardware 12:41: chunk=8 serving paid ~30 ms/chunk re-uploading
+        # pos/active/key — three small h2d transfers, each a relay
+        # round-trip). The decode program advances pos and key itself and
+        # returns them; between admissions the host enqueues chunks with
+        # ZERO h2d transfers. Invalidated (None) at every admission —
+        # the only point where host state the device can't derive
+        # (new slots) changes. Finished slots do NOT invalidate: the
+        # device keeps speculating on the stale-active snapshot (surplus
+        # tokens are discarded at drain), and the host advances self.pos
+        # with the same snapshot, so host and device pos stay equal.
+        self._pos_dev = None
+        self._key_dev = None
+        self._act_dev = None
+        self._act_snap = None                    # host copy of _act_dev
         self._inflight: List[tuple] = []         # (toks_dev, n, active)
+        # fetch batching (round 5): each device->host token fetch costs a
+        # full relay round-trip (~40 ms measured 12:56) REGARDLESS of
+        # payload, so draining one chunk per step rate-limits serving to
+        # one RTT per chunk. `fetch_batch` pending chunks are instead
+        # concatenated ON DEVICE (a cheap async dispatch) and fetched in
+        # ONE round-trip — hardware A/B 12:56: bs=1 chunk=8 went 71 ->
+        # 97 tok/s with mirrors alone; batching the fetches amortizes the
+        # remaining RTT across fetch_batch chunks. Tokens then surface in
+        # bursts of up to fetch_batch*chunk; set fetch_batch=1 for
+        # lowest-latency streaming (the bs=1 chunk=1 latency row).
+        self.fetch_batch = max(1, int(fetch_batch))
         # `pos` advances at ENQUEUE time (it parameterizes the device
         # step); `proc_pos` advances as fetched tokens are processed and
         # drives the finish conditions
@@ -207,9 +233,11 @@ class ServingEngine:
                                self.temperature, self.top_k)
             nxt = jnp.where(active, nxt, tok)
             return (caches, nxt, pos + active.astype(pos.dtype), key), nxt
-        (caches, _, _, _), toks = jax.lax.scan(
+        (caches, _, pos, key), toks = jax.lax.scan(
             step, (caches, tok, pos, key), None, length=chunk)
-        return caches, toks
+        # pos/key return so the host can keep them device-resident
+        # between chunks (mirror pipelining; see __init__)
+        return caches, toks, pos, key
 
     def _admit(self):
         admits: List[_Request] = []
@@ -264,7 +292,10 @@ class ServingEngine:
             self.active[slot] = True
             self.pos[slot] = req.prompt.shape[0]
             self.proc_pos[slot] = req.prompt.shape[0]
-            self._tok_dev = None       # host last_tok is authoritative now
+            # host state is authoritative again: drop all device mirrors
+            self._tok_dev = None
+            self._pos_dev = self._key_dev = None
+            self._act_dev = self._act_snap = None
             self.last_tok[slot] = int(first[0])
             req.generated.append(int(first[0]))
             done = (req.max_new_tokens <= 1
@@ -278,10 +309,29 @@ class ServingEngine:
                 self.active[slot] = False
                 self.slot_req[slot] = None
 
+    def _drain_batch(self, k: int):
+        """Fetch + process the ``k`` oldest in-flight token chunks in ONE
+        device->host round-trip (device-side concat; see fetch_batch)."""
+        k = min(k, len(self._inflight))
+        entries = self._inflight[:k]
+        del self._inflight[:k]
+        if k == 1:
+            toks = np.asarray(entries[0][0])
+        else:
+            toks = np.asarray(jnp.concatenate(
+                [e[0] for e in entries], axis=0))     # one host sync
+        emitted = []
+        off = 0
+        for _, n, act in entries:
+            emitted += self._process_tokens(toks[off:off + n], n, act)
+            off += n
+        return emitted
+
     def _drain_one(self):
-        """Fetch + process the OLDEST in-flight token chunk."""
-        toks_dev, n, act = self._inflight.pop(0)
-        toks = np.asarray(toks_dev)                   # (n, B) host sync
+        return self._drain_batch(1)
+
+    def _process_tokens(self, toks, n, act):
+        """Apply one fetched (n, B) token chunk to scheduler state."""
         emitted = []
         for t in range(n):
             nxt = toks[t]
@@ -311,10 +361,9 @@ class ServingEngine:
         return emitted
 
     def _drain_all(self):
-        emitted = []
-        while self._inflight:
-            emitted += self._drain_one()
-        return emitted
+        if not self._inflight:
+            return []
+        return self._drain_batch(len(self._inflight))
 
     def step(self):
         emitted = []
@@ -333,7 +382,6 @@ class ServingEngine:
         if remaining <= 0:
             return emitted + (self._drain_one() if self._inflight
                               else [])
-        self.key, sub = jax.random.split(self.key)
         max_pos = int(self.pos[self.active].max())
         # clamp the chunk to `remaining`, rounded up to a power of two so
         # tail chunks reuse <= log2(decode_chunk) compiled programs
@@ -347,17 +395,28 @@ class ServingEngine:
         w = attn_bucket(max_pos + n, self.S)
         tok_in = (self._tok_dev if self._tok_dev is not None
                   else jnp.asarray(self.last_tok))
-        self.caches, toks = self._decode(
+        if self._pos_dev is not None:
+            pos_in, key_in = self._pos_dev, self._key_dev
+            act_in, act = self._act_dev, self._act_snap
+        else:
+            self.key, key_in = jax.random.split(self.key)
+            pos_in = jnp.asarray(self.pos)
+            act = self.active.copy()
+            act_in = jnp.asarray(act)
+        self.caches, toks, self._pos_dev, self._key_dev = self._decode(
             self.caches, self.params, tok_in,
-            jnp.asarray(self.pos), jnp.asarray(self.active), sub,
+            pos_in, act_in, key_in,
             attn_window=w, chunk=n)
+        self._act_dev, self._act_snap = act_in, act
         self._tok_dev = toks[-1]                     # stays on device
-        act = self.active.copy()
         for slot in range(self.B):
             if act[slot]:
-                self.slot_req[slot].inflight += n
-                self.pos[slot] += n
+                req = self.slot_req[slot]
+                if req is not None:      # finished slot still in the
+                    req.inflight += n    # stale device snapshot: its
+                self.pos[slot] += n      # surplus tokens drain discarded
         self._inflight.append((toks, n, act))
-        while len(self._inflight) > self.pipeline_depth:
-            emitted += self._drain_one()
+        while (len(self._inflight)
+               >= self.pipeline_depth + self.fetch_batch):
+            emitted += self._drain_batch(self.fetch_batch)
         return emitted

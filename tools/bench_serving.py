@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--cache-len", type=int, default=512)
     ap.add_argument("--decode-chunk", type=int, default=8)
+    ap.add_argument("--fetch-batch", type=int, default=4)
     ap.add_argument("--codebook", default="E8P12")
     ap.add_argument("--kv-quantized", action="store_true")
     ap.add_argument("--small", action="store_true")
@@ -80,6 +81,7 @@ def main():
                            cache_len=args.cache_len, dtype=dtype,
                            decode_chunk=args.decode_chunk,
                            kv_quantized=args.kv_quantized,
+                           fetch_batch=args.fetch_batch,
                            on_token=on_token)
     rng = np.random.default_rng(0)
     for _ in range(args.requests):
@@ -114,6 +116,7 @@ def main():
         "value": round(gen / dt, 2),
         "unit": "gen tokens/s",
         "decode_chunk": args.decode_chunk,
+        "fetch_batch": args.fetch_batch,
     }
     if per_req:
         result["per_request_tok_s_p50"] = round(

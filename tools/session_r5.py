@@ -156,12 +156,14 @@ def phase_u3bs32():
 
 def phase_serving():
     sv = os.path.join(ROOT, "tools", "bench_serving.py")
+    # true per-token latency row: chunk=1, no fetch batching
     run_tool("serving_b1_chunk1",
              [sv, "--max-batch", "1", "--decode-chunk", "1",
+              "--fetch-batch", "1",
               "--requests", "4", "--max-new", "64"], tail_lines=3)
     run_tool("serving_b1_chunk8",
              [sv, "--max-batch", "1", "--decode-chunk", "8",
-              "--requests", "4", "--max-new", "64"], tail_lines=3)
+              "--requests", "4", "--max-new", "128"], tail_lines=3)
     run_tool("serving_b8",
              [sv, "--max-batch", "8", "--requests", "16",
               "--max-new", "64"], tail_lines=3)
