@@ -380,8 +380,8 @@ class ServingEngine:
             req.max_new_tokens - len(req.generated) - req.inflight
             for req in self.slot_req if req is not None)
         if remaining <= 0:
-            return emitted + (self._drain_one() if self._inflight
-                              else [])
+            return emitted + (self._drain_batch(self.fetch_batch)
+                              if self._inflight else [])
         max_pos = int(self.pos[self.active].max())
         # clamp the chunk to `remaining`, rounded up to a power of two so
         # tail chunks reuse <= log2(decode_chunk) compiled programs
