@@ -12,6 +12,8 @@ import json
 
 
 def main(argv=None):
+    from . import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--dataset", default="wikitext2-test")

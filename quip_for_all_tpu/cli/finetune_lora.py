@@ -17,6 +17,8 @@ import sys
 
 
 def main(argv=None):
+    from . import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--save-dir", required=True)

@@ -14,6 +14,8 @@ import time
 
 
 def main(argv=None):
+    from . import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--prompt", default="Hello, my name is")

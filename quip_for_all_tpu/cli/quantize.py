@@ -12,6 +12,8 @@ import sys
 
 
 def main(argv=None):
+    from . import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model-path", required=True,
                     help="HF model dir (config.json + safetensors) or "
