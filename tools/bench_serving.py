@@ -38,6 +38,13 @@ def main():
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    else:
+        # serialize against other TPU processes (utils/chiplock.py);
+        # held for the process lifetime
+        import contextlib
+        from quip_for_all_tpu.utils.chiplock import chip_lock
+        _stack = contextlib.ExitStack()
+        _stack.enter_context(chip_lock(timeout_s=900.0))
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
