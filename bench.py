@@ -342,7 +342,12 @@ def main():
         kv_per_pos = (2 * cfg.num_hidden_layers * B
                       * cfg.num_key_value_heads * cfg.head_dim * elt)
         free = hbm_gb * 1e9 - _leaf_bytes(params) - 1.8e9
-        cap = int(free // kv_per_pos)
+        # budget for a FULL transient copy of the caches: XLA inserts
+        # entry-layout copies of donated cache args when the program
+        # prefers a different minor-to-major (measured 16:40 r5, bs=32
+        # int8: 64x 128MB `copy(caches_*__data)` HLO temps), so peak is
+        # params + 2x KV during the first window
+        cap = int(free // (2 * kv_per_pos))
         cl = 256
         while cl * 2 <= min(cap, cfg.max_position_embeddings):
             cl *= 2
