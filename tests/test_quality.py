@@ -134,3 +134,34 @@ def test_tp_shards_quality(trained_tiny, codebook_ppls):
                            tp_shards=2)
     assert ppl_tp < codebook_ppls["E8P12"] * 1.5, \
         (ppl_tp, codebook_ppls["E8P12"])
+
+
+# --------------------------------------------------------------- doc matrix
+
+def test_quality_json_invariants():
+    """The committed quality-matrix artifact (docs/QUALITY.json, written
+    by tools/quality_matrix.py) must keep the claims the docs make:
+    d=512 parity with fp32 for every codebook/variant, and the d=64
+    stress-tier held-out bit-width ordering (RVQ4B <= RVQ3B <= E8P12)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "QUALITY.json")
+    with open(path) as f:
+        q = json.load(f)
+
+    mid_fp_h = q["mid_fp32"][0]
+    for cb, variant, ph, _pt in q["mid"]:
+        assert ph <= mid_fp_h * 1.01, \
+            f"d=512 {cb}/{variant} held-out {ph} vs fp32 {mid_fp_h}"
+
+    stress = {(c, v): ph for c, v, ph, _ in q["stress"]}
+    assert stress[("E8P12RVQ4B", "base")] <= stress[("E8P12RVQ3B", "base")] \
+        <= stress[("E8P12", "base")], stress
+    # >2-bit codebooks beat 2-bit on the starved model (held-out)
+    assert stress[("HI", "base")] < stress[("E8P12", "base")], stress
+
+    main_fp_h = q["main_fp32"][0]
+    for cb, variant, ph, _pt in q["main"]:
+        assert ph <= main_fp_h * 1.02, \
+            f"d=128 {cb}/{variant} held-out {ph} vs fp32 {main_fp_h}"

@@ -305,10 +305,15 @@ def main():
             "## Mid matrix — d=512, 4 layers (VERDICT r4 #8)",
             "",
             "A mid-size model (4-layer, d=512 — ~17M params, the largest "
-            "that trains to generalization overnight on this CPU) "
-            "tightens the orderings the d<=128 models can only hint at; "
-            "rows include finetune, tp2 block-diagonal transforms and "
-            "the int8-KV decode path at this scale.",
+            "that trains to generalization overnight on this CPU). "
+            "Measured outcome: at d=512 EVERY codebook and variant — "
+            "including 2-bit E8P12, finetune, tp2 block-diagonal "
+            "transforms and the int8-KV decode path — lands within "
+            "0.2% of the fp32 held-out ppl: at adequate width the "
+            "2-bit pipeline is indistinguishable from float, which "
+            "is the reference's headline claim; the codebook "
+            "ordering itself is only visible in the starved d=64 "
+            "stress tier above.",
             "",
         ] + table(*mid)
     lines.append("")
@@ -326,6 +331,8 @@ def main():
         payload["mid"] = [(c, v, round(ph, 3), round(pt, 3))
                           for c, v, ph, pt in mid[1]]
         payload["mid_fp32"] = [round(x, 3) for x in mid[0]]
+    with open(os.path.join(ROOT, "docs", "QUALITY.json"), "w") as f:
+        json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
 
