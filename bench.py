@@ -328,6 +328,16 @@ def main():
                    for l in jax.tree_util.tree_leaves(tree))
     embed_b = _leaf_bytes(params.get("embed_tokens"))
     weight_stream_bytes = _leaf_bytes(params) - embed_b + 2 * cfg.hidden_size
+    if cfg.num_local_experts:
+        # sparse MoE: only experts_per_tok of num_local_experts experts
+        # stream per token at bs=1 — counting all of them made the
+        # mixtral gbps field read 2.4x HBM peak (impossible; 17:05 r5)
+        expert_b = sum(
+            _leaf_bytes(v) for path, v in jax.tree_util.tree_leaves_with_path(
+                params, is_leaf=lambda l: hasattr(l, "q_out"))
+            if "expert" in jax.tree_util.keystr(path))
+        frac = cfg.num_experts_per_tok / cfg.num_local_experts
+        weight_stream_bytes -= expert_b * (1.0 - frac)
     HBM_PEAK_GBPS = float(os.environ.get("QFA_HBM_PEAK_GBPS", "819"))
     print(f"# weight stream/token: {weight_stream_bytes/1e9:.3f} GB "
           f"(embed table {embed_b/1e9:.2f} GB excluded)", file=sys.stderr)
@@ -390,11 +400,23 @@ def main():
         dt = float(np.median(times))
         print(f"# prefill windows: "
               f"{[round(B * S / t, 0) for t in times]}", file=sys.stderr)
+        # MFU (VERDICT r4 #7): model FLOPs = 2 * quantized-matmul params
+        # per token (attention flops excluded — <3% at S<=2048), vs the
+        # chip's bf16 peak
+        PEAK_TFLOPS = float(os.environ.get("QFA_PEAK_TFLOPS", "197"))
+        n_mm = sum(
+            q.q_out * q.q_in for q in jax.tree_util.tree_leaves(
+                params, is_leaf=lambda l: hasattr(l, "q_out"))
+            if hasattr(q, "q_out"))
+        flops = 2.0 * n_mm * B * S
+        mfu = flops / dt / (PEAK_TFLOPS * 1e12)
         print(json.dumps({
             "metric": f"prefill_tokens_per_sec_{name}"
                       f"_{args.codebook.lower()}_impl_{args.impl}",
             "value": round(B * S / dt, 1),
             "unit": "tokens/s",
+            "mfu_pct": round(100 * mfu, 1),
+            "matmul_tflops": round(flops / dt / 1e12, 1),
         }))
         return
 
